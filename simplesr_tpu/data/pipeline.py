@@ -1,0 +1,417 @@
+"""Input pipeline: host decode/crop assembly + fused on-device batch prep.
+
+API parity with reference DataPipeline
+(/root/reference/simple_sr/data_pipeline/data_pipeline.py:12-432): same
+constructor surface, same factories (from_config / eval_pipeline /
+inference_pipeline), same generator methods, same dataset semantics —
+  * files listed from dirs, train/val split via sklearn with random_state
+    (:147-179),
+  * per-image crop fan-out: num_crops random (or diversity-checked) patches
+    (:306-316),
+  * augmentation fan-out: identity + each augmentation per crop (:192),
+  * global shuffle, batch, then LR/HR pairing: HR→[-1,1], LR = antialiased
+    bicubic downscale of HR/255 → [0,1], optional JPEG degrade of LR
+    (:318-330).
+
+TPU-native redesign (SURVEY.md §7 step 3): the reference runs decode, crop,
+augment, resize and JPEG per element on CPU threads via tf.data. Here the
+host only decodes PNGs once into a RAM cache and slices crop windows (pure
+numpy views); everything per-pixel — augmentation, normalization, the
+polyphase bicubic downscale (two MXU matmuls) and the DCT JPEG degrade — runs
+as ONE jitted device function per batch with static shapes. Batches are
+dispatched ahead (async) so the device never waits on the host. Differences
+from the reference, on purpose:
+  * the shuffle is a true global epoch shuffle of (image, crop, augmentation)
+    work items, not a 4096-element window (strictly better mixing;
+    shuffle_buffer_size is accepted for config compat),
+  * JPEG noise no longer forces per-element pairing (the reference's
+    tf workaround for rank-3-only adjust_jpeg_quality, :199-208) — the DCT
+    kernel is batched,
+  * multi-host pods: pass ``shard_by_process=True`` to give each host its
+    1/jax.process_count() file shard (no reference counterpart — it has no
+    distribution at all, SURVEY.md §2).
+"""
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simplesr_tpu.ops import augment as augment_ops
+from simplesr_tpu.ops.resize import resize as _resize
+from simplesr_tpu.ops.jpeg import jpeg_degrade
+
+_IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def read_img(fpath, normalize_func=None, yield_path=False):
+    """Decode an image file to float32 [0,255] HWC (reference
+    image_utils.read_img, image_utils.py:6-25)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(fpath).convert("RGB"), dtype=np.float32)
+    if normalize_func is not None:
+        img = np.asarray(normalize_func(img))
+    if yield_path:
+        return img, fpath
+    return img
+
+
+def _list_images(path):
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f))
+    )
+
+
+def _resolve_augmentations(augmentations):
+    """Accept augmentation names or (key, img)→img callables."""
+    if not augmentations:
+        return []
+    out = []
+    for aug in augmentations:
+        if isinstance(aug, str):
+            out.append((aug, augment_ops.AUGMENTATIONS[aug]))
+        else:
+            out.append((getattr(aug, "__name__", "custom"), aug))
+    return out
+
+
+class DataPipeline:
+    """See module docstring. Constructor args mirror the reference's."""
+
+    def __init__(self,
+                 hr_img_path,
+                 scale,
+                 resize_filter=None,
+                 antialias=True,
+                 train_val_split=0.1,
+                 validationset_path=None,
+                 batch_size=8,
+                 augmentations=None,
+                 test_img_paths=None,
+                 crop=True,
+                 crop_size=(80, 80, 3),
+                 num_crops=8,
+                 crop_naive=True,
+                 minimum_variation_patch=0.8,
+                 minimum_variation_batch=0.05,
+                 random_seed=None,
+                 shuffle_buffer_size=4096,
+                 jpg_noise=False,
+                 jpg_noise_level=50,
+                 shard_by_process=False):
+        self.scale = int(scale)
+        self.data_path = None if hr_img_path is None else (
+            hr_img_path if isinstance(hr_img_path, list) else [hr_img_path])
+        self.validationset_path = None if validationset_path is None else (
+            validationset_path if isinstance(validationset_path, list) else [validationset_path])
+        self.test_img_paths = test_img_paths
+        self.crop = crop
+        self.shuffle_buffer_size = shuffle_buffer_size
+        self.resize_filter = resize_filter or "bicubic"
+        self.antialias = antialias
+        self.batch_size = int(batch_size)
+        self.crop_size = tuple(crop_size)
+        self.num_crops = int(num_crops)
+        self.crop_naive = crop_naive
+        self.minimum_variation_patch = minimum_variation_patch
+        self.minimum_variation_batch = minimum_variation_batch
+        self.random_seed = random_seed
+        self.augmentations = _resolve_augmentations(augmentations)
+        self.jpg_noise = jpg_noise
+        self.jpg_noise_level = jpg_noise_level
+        self.shard_by_process = shard_by_process
+        self.train_val_split = train_val_split
+        self.validationset_size = train_val_split
+
+        self._rng = np.random.default_rng(random_seed)
+        self._key_counter = 0
+        self._decode_cache = {}
+        self._prep_cache = {}
+
+        self.train_imgs, self.val_imgs = self._split_train_val()
+        if self.shard_by_process and jax.process_count() > 1:
+            self.train_imgs = self.train_imgs[jax.process_index()::jax.process_count()]
+
+        self.test_imgs = None
+        if self.test_img_paths is not None and len(self.test_img_paths) > 0:
+            self.test_imgs = self._collect_test_files()
+
+    # ------------------------------------------------------------- listing
+
+    def _split_train_val(self):
+        img_files = []
+        if self.data_path is not None:
+            for p in self.data_path:
+                img_files += _list_images(p)
+        val_list = []
+        if self.validationset_path is not None:
+            self.validationset_size = 0
+            train_list = img_files
+            for vp in self.validationset_path:
+                if os.path.isfile(vp):
+                    val_list.append(vp)
+                else:
+                    val_list += _list_images(vp)
+        elif self.data_path is not None and self.validationset_size > 0.0:
+            import sklearn.model_selection
+            train_list, val_list = sklearn.model_selection.train_test_split(
+                img_files, test_size=self.validationset_size,
+                random_state=self.random_seed)
+        else:
+            train_list = img_files
+        return train_list, val_list
+
+    def _collect_test_files(self):
+        paths = self.test_img_paths
+        if not isinstance(paths, list):
+            paths = [paths]
+        files = []
+        for p in paths:
+            if os.path.isfile(p):
+                files.append(p)
+            elif os.path.isdir(p):
+                files += _list_images(p)
+            else:
+                raise ValueError(f"could not locate path: {p}")
+        return files
+
+    # ------------------------------------------------------------- decode
+
+    def _decoded(self, path):
+        img = self._decode_cache.get(path)
+        if img is None:
+            img = read_img(path)
+            self._decode_cache[path] = img
+        return img
+
+    def _next_key(self):
+        self._key_counter += 1
+        seed = self._rng.integers(0, 2**31 - 1)
+        return jax.random.key(int(seed))
+
+    # ------------------------------------------------- host crop assembly
+
+    def _host_crops(self, path, rng):
+        """num_crops HWC patches from one image via numpy window slicing
+        (the reference's crop_naive / crop_divers, image_transforms.py:50-148)."""
+        img = self._decoded(path)
+        ph, pw = self.crop_size[0], self.crop_size[1]
+        h, w = img.shape[0], img.shape[1]
+        if h < ph or w < pw:
+            raise ValueError(f"patch {ph}x{pw} larger than image {h}x{w} ({path})")
+        n = self.num_crops
+        if self.crop_naive:
+            tops = rng.integers(0, h - ph + 1, size=n)
+            lefts = rng.integers(0, w - pw + 1, size=n)
+            return [img[t:t + ph, l:l + pw] for t, l in zip(tops, lefts)]
+        # diversity sampling: bounded oversample → threshold → top-up by std
+        k = n * 8
+        tops = rng.integers(0, h - ph + 1, size=k)
+        lefts = rng.integers(0, w - pw + 1, size=k)
+        cands = np.stack([img[t:t + ph, l:l + pw] for t, l in zip(tops, lefts)])
+        stds = cands.reshape(k, -1).std(axis=1)
+        passing = np.flatnonzero(stds > self.minimum_variation_patch)
+        order = list(passing) + list(np.argsort(-stds)[~np.isin(np.argsort(-stds), passing)])
+        pick = order[:n]
+        means = cands.reshape(k, -1).mean(axis=1)
+        if np.std(means[pick]) < self.minimum_variation_batch:
+            spread = np.abs(means - means.mean()) + np.where(stds > self.minimum_variation_patch, 1e6, 0)
+            pick = list(np.argsort(-spread)[:n])
+        return [cands[i] for i in pick]
+
+    # ------------------------------------------------- device batch prep
+
+    def _prepare_batch_fn(self, batch_size, hr_h, hr_w):
+        """Build (and cache) the jitted fused batch-prep for a static shape."""
+        cache_key = (batch_size, hr_h, hr_w)
+        fn = self._prep_cache.get(cache_key)
+        if fn is not None:
+            return fn
+
+        aug_fns = [f for _, f in self.augmentations]
+        scale = self.scale
+        method = self.resize_filter
+        antialias = self.antialias
+        jpg_noise = self.jpg_noise
+        quality = 100 - self.jpg_noise_level
+        lr_h, lr_w = hr_h // scale, hr_w // scale
+
+        def _augment_one(aug_id, key, img):
+            branches = [lambda k, x: x] + [
+                (lambda f: (lambda k, x: f(k, x)))(f) for f in aug_fns
+            ]
+            return jax.lax.switch(aug_id, branches, key, img)
+
+        def prep(hr_crops, aug_ids, key):
+            # hr_crops: (B, H, W, 3) float32 in [0, 255]
+            keys = jax.random.split(key, hr_crops.shape[0])
+            if aug_fns:
+                hr = jax.vmap(_augment_one)(aug_ids, keys, hr_crops)
+            else:
+                hr = hr_crops
+            lr = _resize(hr / 255.0, (lr_h, lr_w), method=method,
+                         antialias=antialias)
+            if jpg_noise:
+                lr = jpeg_degrade(lr, quality)
+            hr = hr / 127.5 - 1.0
+            return jnp.asarray(lr, jnp.float32), jnp.asarray(hr, jnp.float32)
+
+        fn = jax.jit(prep)
+        self._prep_cache[cache_key] = fn
+        return fn
+
+    # ------------------------------------------------------- generators
+
+    def _work_items(self, files, rng, with_augs):
+        n_augs = 1 + len(self.augmentations) if with_augs else 1
+        n_crops = self.num_crops if self.crop else 1
+        items = [(f, c, a) for f in files for c in range(n_crops) for a in range(n_augs)]
+        return items
+
+    def _iter_batches(self, files, shuffle, with_augs, drop_remainder=False):
+        rng = np.random.default_rng(self._rng.integers(0, 2**31 - 1))
+        items = self._work_items(files, rng, with_augs)
+        if shuffle:
+            rng.shuffle(items)
+        ph, pw = self.crop_size[0], self.crop_size[1]
+        bs = self.batch_size
+
+        # Pre-slice crops per (file, crop index) so the fan-out reuses them.
+        crop_bank = {}
+
+        def _crop_for(f, c):
+            if not self.crop:
+                return self._decoded(f)
+            bank = crop_bank.get(f)
+            if bank is None:
+                bank = self._host_crops(f, rng)
+                crop_bank[f] = bank
+            return bank[c]
+
+        pending = []  # async-dispatched device batches
+        for start in range(0, len(items), bs):
+            chunk = items[start:start + bs]
+            if drop_remainder and len(chunk) < bs:
+                break
+            crops = [_crop_for(f, c) for f, c, _ in chunk]
+            shapes = {x.shape for x in crops}
+            if len(shapes) > 1:
+                # whole-image mode with heterogeneous sizes → per-image batches
+                for (f, c, a), x in zip(chunk, crops):
+                    fn = self._prepare_batch_fn(1, x.shape[0], x.shape[1])
+                    pending.append(fn(jnp.asarray(x[None]),
+                                      jnp.asarray([a], jnp.int32), self._next_key()))
+                    if len(pending) > 2:
+                        yield pending.pop(0)
+                continue
+            hr = np.stack(crops)
+            aug_ids = np.asarray([a for _, _, a in chunk], np.int32)
+            fn = self._prepare_batch_fn(len(chunk), hr.shape[1], hr.shape[2])
+            # async dispatch: keep up to 2 batches in flight on device
+            pending.append(fn(jnp.asarray(hr), jnp.asarray(aug_ids), self._next_key()))
+            if len(pending) > 2:
+                yield pending.pop(0)
+        yield from pending
+
+    def train_batch_generator(self):
+        """Yields (lr, hr) device batches for training."""
+        if not self.train_imgs:
+            return iter([])
+        return self._iter_batches(self.train_imgs, shuffle=True, with_augs=True)
+
+    def validation_batch_generator(self):
+        """Yields (lr, hr) device batches for validation (no augmentation,
+        no shuffle — reference _prepare_val_set, :211-230)."""
+        if not self.val_imgs:
+            return iter([])
+        return self._iter_batches(self.val_imgs, shuffle=False, with_augs=False)
+
+    def test_batch_generator(self, batch_size=8):
+        """Yields (images [0,1], paths) batches; heterogeneous sizes fall back
+        to per-image batches (reference test_batch_generator, :269-283)."""
+        if self.test_imgs is None:
+            return iter([])
+
+        def _gen():
+            batch, paths = [], []
+            for f in self.test_imgs:
+                img = self._decoded(f) / 255.0
+                if batch and img.shape != batch[0].shape:
+                    yield jnp.asarray(np.stack(batch)), list(paths)
+                    batch, paths = [], []
+                batch.append(img)
+                paths.append(f)
+                if len(batch) == batch_size:
+                    yield jnp.asarray(np.stack(batch)), list(paths)
+                    batch, paths = [], []
+            if batch:
+                yield jnp.asarray(np.stack(batch)), list(paths)
+
+        return _gen()
+
+    # ------------------------------------------------------------ factories
+
+    def __str__(self):
+        augs = [name for name, _ in self.augmentations] or None
+        return (f"DataPipeline:\n"
+                f"data path: {self.data_path}\n"
+                f"validation data path: {self.validationset_path}\n"
+                f"test images: {self.test_img_paths}\n"
+                f"resize filter: {self.resize_filter}\n"
+                f"antialias: {self.antialias}\n"
+                f"validation set size: {self.validationset_size}\n"
+                f"batch size: {self.batch_size}\n"
+                f"augmentations: {augs}\n"
+                f"jpg noise: {self.jpg_noise} (level {self.jpg_noise_level})\n"
+                f"crop: {self.crop} size {self.crop_size} x{self.num_crops} "
+                f"naive={self.crop_naive}\n")
+
+    @staticmethod
+    def from_config(config):
+        """Training pipeline from a ConfigUtil (reference :364-388)."""
+        return DataPipeline(
+            hr_img_path=config.train_data_paths,
+            scale=config.scale, resize_filter=config.resize_filter,
+            antialias=config.antialias,
+            train_val_split=config.train_val_split,
+            validationset_path=config.validation_data_path,
+            batch_size=config.batch_size,
+            augmentations=config.augmentations, jpg_noise=config.jpg_noise,
+            jpg_noise_level=config.jpg_noise_level,
+            test_img_paths=config.test_data_paths,
+            crop=config.crop_imgs, crop_size=config.crop_size,
+            random_seed=config.random_seed,
+            num_crops=config.num_crops, crop_naive=config.crop_naive,
+            shuffle_buffer_size=config.shuffle_buffer_size,
+            minimum_variation_patch=config.minimum_variation_patch,
+            minimum_variation_batch=config.minimum_variation_batch,
+        )
+
+    @staticmethod
+    def eval_pipeline(config):
+        """Evaluation pipeline: (downscaled, ground-truth) pairs through the
+        validation generator (reference :390-413)."""
+        return DataPipeline(
+            hr_img_path=None, scale=config.scale,
+            validationset_path=config.test_data_paths,
+            batch_size=config.batch_size, resize_filter=config.resize_filter,
+            antialias=config.antialias,
+            crop=config.crop_imgs, crop_size=config.crop_size,
+            random_seed=config.random_seed,
+            num_crops=config.num_crops, crop_naive=config.crop_naive,
+            minimum_variation_patch=config.minimum_variation_patch,
+            minimum_variation_batch=config.minimum_variation_batch,
+        )
+
+    @staticmethod
+    def inference_pipeline(config):
+        """Inference pipeline: (image, path) through the test generator
+        (reference :415-432)."""
+        return DataPipeline(
+            hr_img_path=None, test_img_paths=config.test_data_paths,
+            antialias=config.antialias, scale=config.scale,
+        )

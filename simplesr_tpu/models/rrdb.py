@@ -1,0 +1,114 @@
+"""RRDB (ESRGAN) generator as a flax module.
+
+Topology parity with reference model_builder.build_enhanced_resnet
+(/root/reference/simple_sr/utils/models/model_builder.py:42-96):
+conv3 [skip tap] → N RRDB blocks → conv3 → global ×0.2-scaled skip add →
+log2(scale) × (subpixel → LeakyReLU 0.2) → conv3 + LeakyReLU → conv3 tanh.
+
+An RRDB block (:344-351) chains `num_dense_blocks` dense blocks, each added
+residually after ×residual_scaling. A dense block (:328-341) is `num_convs`
+convs at num_filters//2 with DenseNet-style concatenation of all previous
+activations + LeakyReLU 0.2, closed by a conv back to num_filters. No
+BatchNorm anywhere (paper-faithful). Init: he_normal with scale 0.2 (:60-61).
+
+Note the reference applies ONE global ×0.2 trunk skip after all RRDB blocks
+(_build_rrdb_blocks:363-364) rather than the paper's per-block outer skip;
+matched here for parity.
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from simplesr_tpu.models.blocks import scaled_he_normal, SubpixelConvBlock
+
+_ALLOWED_SCALES = (2, 4, 8)
+
+
+class DenseBlock(nn.Module):
+    num_convs: int = 4
+    num_filters: int = 64
+    kernel_size: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        init = scaled_he_normal(0.2)
+        prev = [x]
+        for _ in range(self.num_convs):
+            y = nn.Conv(self.num_filters // 2,
+                        (self.kernel_size, self.kernel_size), padding="SAME",
+                        kernel_init=init, dtype=self.dtype)(prev[-1] if len(prev) == 1 else x)
+            y = nn.leaky_relu(y, 0.2)
+            prev.append(y)
+            x = jnp.concatenate(prev, axis=-1)
+        return nn.Conv(self.num_filters, (3, 3), padding="SAME",
+                       kernel_init=init, dtype=self.dtype)(x)
+
+
+class RRDBBlock(nn.Module):
+    num_dense_blocks: int = 3
+    num_convs: int = 4
+    num_filters: int = 64
+    kernel_size: int = 3
+    residual_scaling: float = 0.2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.num_dense_blocks):
+            block = DenseBlock(self.num_convs, self.num_filters,
+                               self.kernel_size, dtype=self.dtype)(x)
+            x = x + self.residual_scaling * block
+        return x
+
+
+class RRDBNet(nn.Module):
+    """ESRGAN Residual-in-Residual Dense Block network ×{2,4,8}."""
+
+    upsample_factor: int = 4
+    num_filters: int = 64
+    num_rrdb_blocks: int = 16
+    num_dense_blocks: int = 3
+    num_convs: int = 4
+    kernel_size: int = 3
+    residual_scaling: float = 0.2
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.upsample_factor not in _ALLOWED_SCALES:
+            raise ValueError(
+                "upsample factor not supported - please choose either 2, 4 or 8")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # no BatchNorm in RRDB — signature kept uniform
+        init = scaled_he_normal(0.2)
+        x = jnp.asarray(x, self.dtype)
+        x = x_skip = nn.Conv(self.num_filters, (3, 3), padding="SAME",
+                             kernel_init=init, dtype=self.dtype)(x)
+
+        trunk = x
+        for _ in range(self.num_rrdb_blocks):
+            trunk = RRDBBlock(self.num_dense_blocks, self.num_convs,
+                              self.num_filters, self.kernel_size,
+                              self.residual_scaling, dtype=self.dtype)(trunk)
+        trunk = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
+                        padding="SAME", kernel_init=init, dtype=self.dtype)(trunk)
+        x = x_skip + trunk
+
+        scale = self.upsample_factor
+        while scale > 1:
+            x = SubpixelConvBlock(2, activation=False, kernel_init=init,
+                                  dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, 0.2)
+            scale //= 2
+
+        x = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
+                    padding="SAME", kernel_init=init, dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(3, (3, 3), padding="SAME", kernel_init=init,
+                    dtype=jnp.float32)(jnp.asarray(x, jnp.float32))
+        return jnp.tanh(x)

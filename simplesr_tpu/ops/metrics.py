@@ -82,9 +82,9 @@ def _depthwise_sep_filter(x, win):
     kw = jnp.tile(kw, (1, 1, 1, c))
     dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     x = lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                 feature_group_count=c)
+                                 feature_group_count=c, precision="highest")
     x = lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                 feature_group_count=c)
+                                 feature_group_count=c, precision="highest")
     return x
 
 

@@ -3,13 +3,18 @@ sharding/collective code paths run without TPU hardware (SURVEY.md §7)."""
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends. Force CPU even if the
+# shell exported JAX_PLATFORMS=axon (the TPU tunnel): unit tests are the
+# 8-virtual-device CPU surface; TPU runs happen via bench.py / verify flows.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 # Keep TF (used only as a parity oracle in tests) quiet and off any accelerator.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+# oneDNN's Winograd/blocked conv kernels give ~1e-3-level numeric drift vs
+# XLA's direct convolutions; disable for bit-comparable parity oracles.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
 import numpy as np  # noqa: E402

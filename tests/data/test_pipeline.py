@@ -1,0 +1,115 @@
+"""DataPipeline invariants, mirroring reference
+tests/data_pipeline/test_data_pipeline.py: output cardinality
+N × split × num_crops × (1+len(augs)), batch shapes, train/val disjointness,
+and the LR↔HR correspondence property (bicubic-downscaled HR ≡ LR)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from simplesr_tpu.data import DataPipeline
+from simplesr_tpu.ops import resize, ssim, psnr
+
+NOISE_DIR = "/root/reference/tests/data/patterns/random_noise"
+GRAD_DIR = "/root/reference/tests/data/patterns/gradients"
+
+
+def _pipeline(**kw):
+    args = dict(
+        hr_img_path=NOISE_DIR, scale=2, train_val_split=0.25, batch_size=4,
+        crop=True, crop_size=(32, 32, 3), num_crops=2, random_seed=7,
+    )
+    args.update(kw)
+    return DataPipeline(**args)
+
+
+def test_split_counts_and_disjoint():
+    p = _pipeline()
+    assert len(p.train_imgs) == 6 and len(p.val_imgs) == 2
+    assert not (set(p.train_imgs) & set(p.val_imgs))
+
+
+def test_train_output_cardinality():
+    augs = ["flip_along_x", "flip_along_y"]
+    p = _pipeline(augmentations=augs)
+    total = sum(int(lr.shape[0]) for lr, hr in p.train_batch_generator())
+    # 6 train imgs × 2 crops × (1 + 2 augs)
+    assert total == 6 * 2 * (1 + len(augs))
+
+
+def test_batch_shapes():
+    p = _pipeline()
+    for lr, hr in p.train_batch_generator():
+        assert hr.shape[1:] == (32, 32, 3)
+        assert lr.shape[1:] == (16, 16, 3)
+        assert hr.shape[0] == lr.shape[0] <= 4
+        assert float(jnp.max(hr)) <= 1.0 and float(jnp.min(hr)) >= -1.0
+        assert float(jnp.min(lr)) >= 0.0 and float(jnp.max(lr)) <= 1.0
+
+
+def test_lr_hr_correspondence():
+    """The core dataset invariant (reference test :147-158): downscaling the
+    HR by the pipeline scale must reproduce LR (SSIM≈1, PSNR→∞)."""
+    p = _pipeline()
+    for lr, hr in p.train_batch_generator():
+        hr01 = (hr + 1.0) / 2.0
+        relr = resize(hr01, (16, 16), method="bicubic", antialias=True)
+        assert float(jnp.mean(ssim(relr, lr, max_val=1.0))) > 0.999
+        assert float(jnp.mean(psnr(relr, lr, max_val=1.0))) > 50.0
+
+
+def test_lr_hr_correspondence_diverse_crop():
+    p = _pipeline(crop_naive=False, minimum_variation_patch=0.01,
+                  minimum_variation_batch=0.0)
+    batches = list(p.train_batch_generator())
+    assert batches
+    lr, hr = batches[0]
+    relr = resize((hr + 1.0) / 2.0, (16, 16), method="bicubic", antialias=True)
+    assert float(jnp.mean(ssim(relr, lr, max_val=1.0))) > 0.999
+
+
+def test_validation_no_augmentation_no_shuffle():
+    p = _pipeline(augmentations=["flip_along_x"])
+    v1 = [np.asarray(hr) for _, hr in p.validation_batch_generator()]
+    total = sum(b.shape[0] for b in v1)
+    assert total == 2 * 2  # 2 val imgs × 2 crops, no augmentation fan-out
+
+
+def test_jpg_noise_degrades_lr():
+    p_clean = _pipeline(random_seed=3)
+    p_noisy = _pipeline(random_seed=3, jpg_noise=True, jpg_noise_level=60)
+    lr_c, hr_c = next(iter(p_clean.train_batch_generator()))
+    lr_n, hr_n = next(iter(p_noisy.train_batch_generator()))
+    np.testing.assert_allclose(np.asarray(hr_c), np.asarray(hr_n), atol=1e-6)
+    assert not np.allclose(np.asarray(lr_c), np.asarray(lr_n), atol=1e-3)
+
+
+def test_explicit_validation_path():
+    p = _pipeline(validationset_path=GRAD_DIR, train_val_split=0.5)
+    assert len(p.train_imgs) == 8  # no split when explicit val path given
+    assert len(p.val_imgs) == 8
+
+
+def test_test_generator_yields_paths():
+    p = DataPipeline(hr_img_path=None, scale=2, test_img_paths=[NOISE_DIR])
+    batches = list(p.test_batch_generator(batch_size=4))
+    n = sum(b.shape[0] for b, _ in batches)
+    assert n == 8
+    for imgs, paths in batches:
+        assert imgs.shape[0] == len(paths)
+        assert float(jnp.max(imgs)) <= 1.0
+
+
+def test_inference_pipeline_factory():
+    class Cfg:
+        test_data_paths = [NOISE_DIR]
+        antialias = True
+        scale = 4
+    p = DataPipeline.inference_pipeline(Cfg)
+    assert len(list(p.test_batch_generator(2))) == 4
+
+
+def test_deterministic_split_with_seed():
+    a = _pipeline(random_seed=11)
+    b = _pipeline(random_seed=11)
+    assert a.train_imgs == b.train_imgs and a.val_imgs == b.val_imgs
