@@ -27,7 +27,7 @@ def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=1
     checkpoint layer (train.checkpointing)."""
     import jax.numpy as jnp
 
-    dtype = dtype or jnp.bfloat16
+    dtype = jnp.dtype(dtype).type if isinstance(dtype, str) else (dtype or jnp.bfloat16)
     if callable(architecture):
         return architecture()
     if architecture == "rrdb":

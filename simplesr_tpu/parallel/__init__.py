@@ -1,0 +1,14 @@
+"""Parallelism layer: mesh construction, data-parallel training shardings,
+spatially-sharded (halo-exchange) inference, multi-host init."""
+
+from simplesr_tpu.parallel.mesh import (
+    make_mesh, data_sharding, spatial_sharding, replicated, shard_batch,
+    initialize_multihost, local_batch_slice, DATA_AXIS, SPATIAL_AXIS,
+)
+from simplesr_tpu.parallel.spatial import halo_exchange, spatial_sharded_apply
+
+__all__ = [
+    "make_mesh", "data_sharding", "spatial_sharding", "replicated",
+    "shard_batch", "initialize_multihost", "local_batch_slice",
+    "DATA_AXIS", "SPATIAL_AXIS", "halo_exchange", "spatial_sharded_apply",
+]

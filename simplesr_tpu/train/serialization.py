@@ -1,0 +1,41 @@
+"""Whole-model serialization — the `.h5` equivalent.
+
+The reference saves the full Keras model every epoch plus a "best" copy
+(sr_model.py:233-244,571,608) and reloads it for evaluation and as
+`pretrained_model_path`. Here a model file is a single msgpack blob holding
+the architecture config (enough to rebuild the flax module) and the variables
+pytree. Extension: `.msgpack`.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+from flax import serialization as flax_ser
+
+from simplesr_tpu.models import build_generator_model
+
+MODEL_EXT = ".msgpack"
+
+
+def save_model(module_config: dict, variables, path):
+    """Write {config, variables} to `path` (directories created)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    variables = jax.device_get(variables)
+    payload = {
+        "config": json.dumps(module_config),
+        "variables": flax_ser.to_bytes(variables),
+    }
+    with open(path, "wb") as f:
+        f.write(flax_ser.msgpack_serialize(payload))
+
+
+def load_model(path):
+    """Read a model file → (module, variables)."""
+    with open(path, "rb") as f:
+        payload = flax_ser.msgpack_restore(f.read())
+    config = json.loads(payload["config"])
+    module = build_generator_model(**config)
+    variables = flax_ser.msgpack_restore(payload["variables"])
+    return module, variables

@@ -1,0 +1,628 @@
+"""SRModel: the training state machine.
+
+API parity with reference models/sr_model.py:12-740 — same constructor
+surface and lifecycle (init / train_step / validation_step / test_and_plot /
+before_epoch / after_train_batch / after_validation_batch / after_epoch /
+after_training), checkpoints keep-5 saved only on a new best tracked metric,
+best-checkpoint restore on early stop and at end of training, whole-model
+saves every epoch plus "best", four TensorBoard writers, batch/epoch metric
+histories.
+
+TPU-native redesign of the hot path: the reference's two-GradientTape
+simultaneous G/D update (sr_model.py:403-453) becomes ONE jitted, donated
+function that differentiates a combined scalar
+
+    total = gen_loss(G(θg), D(stop_grad(θd), ·)) +
+            disc_loss(D(θd, stop_grad(G(θg)(lr))), labels)
+
+w.r.t. (θg, θd): the stop_gradients reproduce exactly the two-tape gradient
+flow (gen grads never touch θd, disc grads never flow into G), XLA CSEs the
+identical discriminator primal forwards, and both optimizer updates + image
+metrics + BatchNorm running-stat updates fuse into one device program. The
+train loop stays fully async — metric scalars are folded lazily on host.
+
+Checkpointing is Orbax (SURVEY.md §5): state pytree = {step, best metric,
+G/D params, BatchNorm stats, optimizer states}, max_to_keep=5.
+"""
+
+import os
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from simplesr_tpu.ops import metrics as image_metrics_lib
+from simplesr_tpu.ops.resize import resize as _resize
+from simplesr_tpu.train.early_stopping import EarlyStopping
+from simplesr_tpu.train.metrics import MetricBundle
+from simplesr_tpu.train.optimizers import build_optimizer
+from simplesr_tpu.train import serialization
+
+
+@struct.dataclass
+class SRTrainState:
+    """The full training state pytree (checkpointed as-is)."""
+    step: jnp.ndarray
+    best_metric: jnp.ndarray
+    g_params: Any
+    g_batch_stats: Any
+    g_opt_state: Any
+    d_params: Any
+    d_batch_stats: Any
+    d_opt_state: Any
+    rng: Any
+
+
+class SRModel:
+    def __init__(self,
+                 model_type,
+                 generator,
+                 generator_optimizer="Adam",
+                 generator_optimizer_config=None,
+                 discriminator=None,
+                 discriminator_optimizer=None,
+                 discriminator_optimizer_config=None,
+                 image_metrics=None,
+                 early_stop_metric="psnr",
+                 early_stop_patience=100,
+                 epoch_train_summary_writer=None,
+                 batch_train_summary_writer=None,
+                 epoch_validation_summary_writer=None,
+                 batch_validation_summary_writer=None,
+                 resnet_checkpoint=None,
+                 config=None,
+                 seed=0,
+                 mesh=None):
+        if model_type.lower() not in ("gan", "resnet"):
+            raise ValueError("model type not recognized")
+        if generator is None:
+            raise ValueError("no generator was supplied")
+        if generator_optimizer is None and resnet_checkpoint is None:
+            raise ValueError("no generator optimizer was supplied")
+        if model_type.lower() == "gan" and discriminator is None:
+            raise ValueError("model type is GAN but no discriminator supplied")
+        if model_type.lower() == "gan" and discriminator_optimizer is None:
+            raise ValueError("model type is GAN but no discriminator optimizer supplied")
+        if model_type.lower() == "resnet" and discriminator is not None:
+            raise ValueError("model type is Resnet but discriminator was supplied")
+
+        self._model_type = model_type.lower()
+        self.name = model_type
+        self._epochs = 0
+        self._iterations = 0
+        self._epoch_train_summary_writer = epoch_train_summary_writer
+        self._batch_train_summary_writer = batch_train_summary_writer
+        self._epoch_validation_summary_writer = epoch_validation_summary_writer
+        self._batch_validation_summary_writer = batch_validation_summary_writer
+
+        self._model_dir = "./models"
+        self._checkpoint_dir = "./checkpoints"
+        self._config = config
+        if config is not None:
+            if getattr(config, "model_dir", None):
+                self._model_dir = config.model_dir
+            if getattr(config, "checkpoint_dir", None):
+                self._checkpoint_dir = config.checkpoint_dir
+
+        self._generator = generator
+        self._g_tx = build_optimizer(generator_optimizer, generator_optimizer_config)
+        self._generator_optimizer_config = generator_optimizer_config
+
+        self._discriminator = discriminator
+        self._d_tx = None
+        self._discriminator_optimizer_config = discriminator_optimizer_config
+        if self._model_type == "gan":
+            self._d_tx = build_optimizer(discriminator_optimizer,
+                                         discriminator_optimizer_config)
+
+        # ---------------------------------------------------------- state
+        g_vars = dict(generator.variables)
+        g_params = g_vars.pop("params")
+        g_stats = g_vars.pop("batch_stats", {})
+        d_params, d_stats, d_opt = {}, {}, ()
+        if self._model_type == "gan":
+            d_vars = dict(discriminator.variables)
+            d_params = d_vars.pop("params")
+            d_stats = d_vars.pop("batch_stats", {})
+            d_opt = self._d_tx.init(d_params)
+        self._state = SRTrainState(
+            step=jnp.zeros((), jnp.int32),
+            best_metric=jnp.asarray(-1.0, jnp.float32),
+            g_params=g_params, g_batch_stats=g_stats,
+            g_opt_state=self._g_tx.init(g_params),
+            d_params=d_params, d_batch_stats=d_stats, d_opt_state=d_opt,
+            rng=jax.random.key(seed),
+        )
+
+        if resnet_checkpoint is not None:
+            # Warm-start the GAN generator from a pixel-pretrained run's
+            # checkpoint directory (reference sr_model.py:158-167).
+            self._restore_resnet_checkpoint(resnet_checkpoint)
+
+        # ------------------------------------------------------ checkpoints
+        import orbax.checkpoint as ocp
+        ckpt_path = os.path.abspath(os.path.join(self._checkpoint_dir, self._model_type))
+        self._ckpt_mgr = ocp.CheckpointManager(
+            ckpt_path,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=5, enable_async_checkpointing=False),
+        )
+
+        # ---------------------------------------------------------- metrics
+        self._image_metrics = image_metrics if image_metrics is not None else \
+            dict(psnr=image_metrics_lib.psnr)
+        names = list(self._image_metrics)
+        self._train_epoch_metrics = MetricBundle(names)
+        self._valid_epoch_metrics = MetricBundle(names)
+        self._batch_metrics = MetricBundle(names)
+
+        self._train_batch_history = {}
+        self._train_epoch_history = {}
+        self._valid_batch_history = {}
+        self._valid_epoch_history = {}
+
+        self._early_stop_metric = early_stop_metric
+        self._early_stop_patience = early_stop_patience
+        self._early_stopping_util = EarlyStopping(
+            metric_key=early_stop_metric, patience=early_stop_patience)
+
+        # Optional device mesh: when set, the jitted steps carry SPMD
+        # shardings — state replicated, batches split on the data axis; XLA
+        # inserts the gradient all-reduce over ICI (no reference counterpart:
+        # the reference has no parallelism of any kind, SURVEY.md §2).
+        self._mesh = mesh
+        if mesh is not None:
+            from simplesr_tpu.parallel.mesh import replicated
+            self._state = jax.device_put(self._state, replicated(mesh))
+
+        self._train_step_fn = None
+        self._valid_step_fn = None
+
+    # ================================================== jitted step builders
+
+    def _g_apply(self, params, stats, x, train):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        module = self._generator.model()
+        if train and stats:
+            out, mut = module.apply(variables, x, train=True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return module.apply(variables, x, train=train), stats
+
+    def _d_apply(self, params, stats, x, train):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        module = self._discriminator.model()
+        if train and stats:
+            out, mut = module.apply(variables, x, train=True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return module.apply(variables, x, train=train), stats
+
+    def _image_metric_values(self, hr, sr):
+        return {k: jnp.mean(fn(hr, sr)) for k, fn in self._image_metrics.items()}
+
+    def _build_train_step(self):
+        gan = self._model_type == "gan"
+        gen = self._generator
+        disc = self._discriminator
+        g_tx, d_tx = self._g_tx, self._d_tx
+
+        def loss_fn(both_params, state, lr, hr, key):
+            g_params, d_params = both_params
+            sr, g_stats = self._g_apply(g_params, state.g_batch_stats, lr, train=True)
+            sr = jnp.asarray(sr, jnp.float32)
+
+            sr_critic = hr_critic = None
+            d_loss = 0.0
+            d_metrics = {}
+            d_stats = state.d_batch_stats
+            if gan:
+                # discriminator branch: grads flow into θd only
+                sr_c_d, d_stats = self._d_apply(
+                    d_params, d_stats, jax.lax.stop_gradient(sr), train=True)
+                hr_c_d, d_stats = self._d_apply(d_params, d_stats, hr, train=True)
+                d_loss, d_metrics = disc.calculate_loss(key, sr_c_d, hr_c_d)
+                # generator branch: same primal, θd stopped (XLA CSEs the fwd)
+                d_params_stopped = jax.lax.stop_gradient(d_params)
+                sr_critic, _ = self._d_apply(d_params_stopped, state.d_batch_stats,
+                                             sr, train=True)
+                hr_critic, _ = self._d_apply(d_params_stopped, state.d_batch_stats,
+                                             hr, train=True)
+
+            g_loss, g_metrics = gen.calculate_loss(sr, hr, sr_critic, hr_critic)
+            total = g_loss + d_loss
+            aux = dict(sr=sr, g_stats=g_stats, d_stats=d_stats,
+                       g_metrics=g_metrics, d_metrics=d_metrics)
+            return total, aux
+
+        def train_step(state, lr, hr):
+            key, new_rng = jax.random.split(state.rng)
+            grads, aux = jax.grad(loss_fn, has_aux=True)(
+                (state.g_params, state.d_params), state, lr, hr, key)
+            g_grads, d_grads = grads
+            g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
+                                                 state.g_params)
+            g_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                              state.g_params, g_updates)
+            d_params, d_opt_state = state.d_params, state.d_opt_state
+            if gan:
+                d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
+                                                     state.d_params)
+                d_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                                  state.d_params, d_updates)
+            img_metrics = self._image_metric_values(hr, aux["sr"])
+            new_state = state.replace(
+                step=state.step + 1,
+                g_params=g_params, g_batch_stats=aux["g_stats"],
+                g_opt_state=g_opt_state,
+                d_params=d_params, d_batch_stats=aux["d_stats"],
+                d_opt_state=d_opt_state, rng=new_rng)
+            return new_state, dict(g=aux["g_metrics"], d=aux["d_metrics"],
+                                   img=img_metrics)
+
+        if self._mesh is not None:
+            from simplesr_tpu.parallel.mesh import data_sharding, replicated
+            repl = replicated(self._mesh)
+            batch_sh = data_sharding(self._mesh)
+            return jax.jit(train_step, donate_argnums=(0,),
+                           in_shardings=(repl, batch_sh, batch_sh),
+                           out_shardings=(repl, repl))
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_valid_step(self):
+        gan = self._model_type == "gan"
+        gen = self._generator
+        disc = self._discriminator
+
+        def valid_step(state, lr, hr, key):
+            sr, _ = self._g_apply(state.g_params, state.g_batch_stats, lr, train=False)
+            sr = jnp.asarray(sr, jnp.float32)
+            sr_critic = hr_critic = None
+            d_metrics = {}
+            if gan:
+                sr_critic, _ = self._d_apply(state.d_params, state.d_batch_stats,
+                                             sr, train=False)
+                hr_critic, _ = self._d_apply(state.d_params, state.d_batch_stats,
+                                             hr, train=False)
+                _, d_metrics = disc.calculate_loss(key, sr_critic, hr_critic)
+            _, g_metrics = gen.calculate_loss(sr, hr, sr_critic, hr_critic)
+            img_metrics = self._image_metric_values(hr, sr)
+            return dict(g=g_metrics, d=d_metrics, img=img_metrics)
+
+        if self._mesh is not None:
+            from simplesr_tpu.parallel.mesh import data_sharding, replicated
+            repl = replicated(self._mesh)
+            batch_sh = data_sharding(self._mesh)
+            return jax.jit(valid_step,
+                           in_shardings=(repl, batch_sh, batch_sh, repl),
+                           out_shardings=repl)
+        return jax.jit(valid_step)
+
+    # ========================================================== public steps
+
+    def train_step(self, lr_batch, hr_batch):
+        """One optimization step (reference sr_model.py:403-453)."""
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+        self._state, metrics = self._train_step_fn(
+            self._state, jnp.asarray(lr_batch), jnp.asarray(hr_batch))
+        self._generator.accumulate_metrics(metrics["g"], train=True)
+        if self._model_type == "gan":
+            self._discriminator.accumulate_metrics(metrics["d"], train=True)
+        for k, v in metrics["img"].items():
+            self._train_epoch_metrics.ensure(k)(v)
+            self._batch_metrics.ensure(k)(v)
+
+    def validation_step(self, lr_batch, hr_batch):
+        """One validation pass (reference sr_model.py:455-480)."""
+        if self._valid_step_fn is None:
+            self._valid_step_fn = self._build_valid_step()
+        key = jax.random.fold_in(jax.random.key(4711), self._iterations)
+        metrics = self._valid_step_fn(self._state, jnp.asarray(lr_batch),
+                                      jnp.asarray(hr_batch), key)
+        self._generator.accumulate_metrics(metrics["g"], train=False)
+        if self._model_type == "gan":
+            self._discriminator.accumulate_metrics(metrics["d"], train=False)
+        for k, v in metrics["img"].items():
+            self._valid_epoch_metrics.ensure(k)(v)
+            self._batch_metrics.ensure(k)(v)
+
+    def test_and_plot(self, lr_batch, save_dir, step, hr_batch=None, file_path=None):
+        """SR a batch and save an annotated comparison grid (reference
+        sr_model.py:482-517)."""
+        from simplesr_tpu.eval import rendering
+
+        sr_batch = self.generate(lr_batch)
+        fname = f"{str(self._epochs).zfill(5)}_{str(step).zfill(3)}"
+        kwargs = {
+            self._model_type: np.asarray(sr_batch),
+            "bicubic": np.asarray(_resize(jnp.asarray(lr_batch),
+                                          (sr_batch.shape[1], sr_batch.shape[2]),
+                                          method="bicubic")),
+        }
+        if hr_batch is not None:
+            kwargs["ground truth"] = np.asarray(hr_batch)
+        save_dir = os.path.join(save_dir, self._model_type)
+        if file_path is not None:
+            fp = file_path[0] if isinstance(file_path, (list, tuple)) else file_path
+            save_dir = os.path.join(save_dir, Path(str(fp)).parent.stem)
+        rendering.prepare_image_grid(save_dir=save_dir, fname=fname,
+                                     original=None, psnr=None,
+                                     low_res_key=None, **kwargs)
+
+    def generate(self, lr_batch):
+        """SR with the current generator params (eval mode)."""
+        variables = {"params": self._state.g_params}
+        if self._state.g_batch_stats:
+            variables["batch_stats"] = self._state.g_batch_stats
+        return self._generator.generate(lr_batch, variables=variables)
+
+    # ============================================================ lifecycle
+
+    def before_epoch(self):
+        """Reset epoch metrics, bump epoch counter (reference :554-561)."""
+        self._reset_epoch_metrics()
+        self._epochs += 1
+
+    def after_train_batch(self):
+        """Log batch metrics to TB + history, reset (reference :519-529)."""
+        self._iterations = int(self._state.step)
+        self._log_batch_metrics_to_tb(train=True)
+        self._update_history(self._combined_batch_metrics(), self._train_batch_history)
+        self._reset_batch_metrics()
+
+    def after_validation_batch(self):
+        self._log_batch_metrics_to_tb(train=False)
+        self._update_history(self._combined_batch_metrics(), self._valid_batch_history)
+        self._reset_batch_metrics()
+
+    def after_epoch(self):
+        """Save model, log epoch metrics, track best metric, maybe early-stop
+        (restoring best checkpoint), save checkpoint on new best
+        (reference :563-599)."""
+        self.save_model(self._model_dir)
+        self._log_epoch_metrics_to_tb(train=True)
+        self._log_epoch_metrics_to_tb(train=False)
+        self._update_epoch_history()
+
+        tracked = self._valid_epoch_metrics.ensure(self._early_stop_metric).result()
+        if np.isnan(tracked):  # no validation data → fall back to train metric
+            tracked = self._train_epoch_metrics.ensure(self._early_stop_metric).result()
+        self._state = self._state.replace(
+            best_metric=jnp.asarray(tracked, jnp.float32))
+
+        if self._check_early_stopping():
+            self._restore_latest_checkpoint()
+
+        if self._early_stopping_util.num_epochs_after_best() == 0:
+            self._ckpt_mgr.save(int(self._state.step),
+                                args=self._ckpt_args_save())
+            self._ckpt_mgr.wait_until_finished()
+
+    def after_training(self):
+        """Restore best checkpoint, save '*_best' model (reference :601-609)."""
+        self._restore_latest_checkpoint()
+        self.save_model(self._model_dir, postfix="best")
+        self._reset_epoch_metrics()
+
+    # ========================================================= checkpointing
+
+    def _ckpt_args_save(self):
+        import orbax.checkpoint as ocp
+        return ocp.args.StandardSave(self._state_for_ckpt())
+
+    def _state_for_ckpt(self):
+        state = self._state
+        # orbax can't serialize typed PRNG keys — store raw key data
+        return state.replace(rng=jax.random.key_data(state.rng))
+
+    def _restore_latest_checkpoint(self):
+        import orbax.checkpoint as ocp
+        step = self._ckpt_mgr.latest_step()
+        if step is None:
+            return
+        template = jax.device_get(self._state_for_ckpt())
+        restored = self._ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        self._state = restored.replace(
+            rng=jax.random.wrap_key_data(restored.rng))
+
+    def _restore_resnet_checkpoint(self, checkpoint_dir):
+        """Warm-start generator params/opt-state/step from a pixel-pretrain
+        run's checkpoint directory (reference :158-167)."""
+        import orbax.checkpoint as ocp
+        mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+        step = mgr.latest_step()
+        if step is None:
+            raise ValueError(f"no checkpoint found in {checkpoint_dir}")
+        # Template mirrors a pixel-pretrain (resnet-mode) state: empty
+        # discriminator slots, raw PRNG key data.
+        template = jax.device_get(jax.tree_util.tree_map(np.asarray, {
+            "step": self._state.step,
+            "best_metric": self._state.best_metric,
+            "g_params": self._state.g_params,
+            "g_batch_stats": self._state.g_batch_stats,
+            "g_opt_state": self._state.g_opt_state,
+            "d_params": {},
+            "d_batch_stats": {},
+            "d_opt_state": (),
+            "rng": jax.random.key_data(self._state.rng),
+        }))
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        self._state = self._state.replace(
+            step=jnp.asarray(restored["step"]),
+            best_metric=jnp.asarray(restored["best_metric"]),
+            g_params=restored["g_params"],
+            g_batch_stats=restored["g_batch_stats"],
+            g_opt_state=restored["g_opt_state"])
+        mgr.close()
+
+    def latest_checkpoint(self):
+        """Latest checkpoint step + manager (reference returns the tf
+        Checkpoint object, :226-240)."""
+        return self._ckpt_mgr.latest_step(), self._ckpt_mgr
+
+    def save_model(self, save_path, postfix=None):
+        """Save the generator as a whole-model file (.h5 equivalent,
+        reference :233-244)."""
+        if postfix is None:
+            postfix = self._epochs
+        variables = {"params": jax.device_get(self._state.g_params)}
+        if self._state.g_batch_stats:
+            variables["batch_stats"] = jax.device_get(self._state.g_batch_stats)
+        path = os.path.join(save_path,
+                            f"{self._model_type}_gen_{postfix}{serialization.MODEL_EXT}")
+        serialization.save_model(self._generator.module_config(), variables, path)
+        return path
+
+    # ============================================================== metrics
+
+    def iterations(self):
+        return self._iterations
+
+    def stop_early(self):
+        return self._early_stopping_util.stop_early()
+
+    def generator(self):
+        """The generator flax module (reference returns the Keras model)."""
+        return self._generator.model()
+
+    def generator_wrapper(self):
+        return self._generator
+
+    def discriminator_wrapper(self):
+        return self._discriminator
+
+    @property
+    def state(self):
+        return self._state
+
+    def set_state(self, state):
+        self._state = state
+
+    @property
+    def model_type(self):
+        return self._model_type
+
+    def histories(self):
+        return dict(train_batch=self._train_batch_history,
+                    train_epoch=self._train_epoch_history,
+                    valid_batch=self._valid_batch_history,
+                    valid_epoch=self._valid_epoch_history)
+
+    def _combined_batch_metrics(self):
+        out = dict(self._batch_metrics.results())
+        out.update(self._generator.batch_metrics().results())
+        if self._model_type == "gan":
+            out.update(self._discriminator.batch_metrics().results())
+        return out
+
+    def _combined_epoch_metrics(self, train=True):
+        own = self._train_epoch_metrics if train else self._valid_epoch_metrics
+        out = dict(own.results())
+        out.update(self._generator.epoch_metrics(train).results())
+        if self._model_type == "gan":
+            out.update(self._discriminator.epoch_metrics(train).results())
+        return out
+
+    def _log_batch_metrics_to_tb(self, train=True):
+        writer = self._batch_train_summary_writer if train else \
+            self._batch_validation_summary_writer
+        if writer is None:
+            return
+        for name, value in self._combined_batch_metrics().items():
+            writer.add_scalar(f"{name}_batch", value, self._iterations)
+
+    def _log_epoch_metrics_to_tb(self, train=True):
+        writer = self._epoch_train_summary_writer if train else \
+            self._epoch_validation_summary_writer
+        if writer is None:
+            return
+        for name, value in self._combined_epoch_metrics(train).items():
+            writer.add_scalar(name, value, self._epochs)
+
+    def _check_early_stopping(self):
+        self._early_stopping_util.evaluate_stop_criterion(
+            self._valid_epoch_history.get(self._early_stop_metric)
+            or self._train_epoch_history.get(self._early_stop_metric, [float("-inf")]))
+        return self.stop_early()
+
+    def _update_epoch_history(self):
+        self._update_history(self._combined_epoch_metrics(train=True),
+                             self._train_epoch_history)
+        self._update_history(self._combined_epoch_metrics(train=False),
+                             self._valid_epoch_history)
+
+    @staticmethod
+    def _update_history(metrics, history):
+        for name, value in metrics.items():
+            history.setdefault(name, []).append(value)
+
+    def _reset_epoch_metrics(self):
+        self._train_epoch_metrics.reset()
+        self._valid_epoch_metrics.reset()
+        self._generator.reset_epoch_metrics()
+        if self._model_type == "gan":
+            self._discriminator.reset_epoch_metrics()
+
+    def _reset_batch_metrics(self):
+        self._batch_metrics.reset()
+        self._generator.reset_batch_metrics()
+        if self._model_type == "gan":
+            self._discriminator.reset_batch_metrics()
+
+    def formatted_epoch_metrics(self):
+        train = self._format_metrics(True, "Training")
+        valid = self._format_metrics(False, "Validation")
+        return train + valid
+
+    def _format_metrics(self, train, header):
+        own = self._train_epoch_metrics if train else self._valid_epoch_metrics
+        img = "".join(f"{k}: {v:.5f}\n" for k, v in own.results().items())
+        gen = self._generator.formatted_epoch_metrics(train=train)
+        out = f"{header}\n{img}Generator\n{gen}"
+        if self._model_type == "gan":
+            out += "Discriminator\n" + self._discriminator.formatted_epoch_metrics(train=train)
+        return out
+
+    def __str__(self):
+        return (f"# SR Model\n"
+                f"model type: {self._model_type}\n"
+                f"generator optimizer config: {self._generator_optimizer_config}\n"
+                f"discriminator optimizer config: {self._discriminator_optimizer_config}\n"
+                f"image metrics: {list(self._image_metrics)}\n"
+                f"early stop metric: {self._early_stop_metric}\n"
+                f"early stop patience: {self._early_stop_patience}\n\n"
+                f"{self._generator}\n{self._discriminator}")
+
+    # ============================================================== factory
+
+    @staticmethod
+    def init(config, generator, generator_optimizer,
+             generator_optimizer_config=None, discriminator=None,
+             discriminator_optimizer=None, discriminator_optimizer_config=None,
+             image_metrics=None):
+        """Infer model type + pull early-stop/TB config from a ConfigUtil
+        (reference sr_model.py:704-740)."""
+        model_type = "resnet" if discriminator is None else "gan"
+        return SRModel(
+            model_type=model_type, generator=generator,
+            generator_optimizer=generator_optimizer,
+            generator_optimizer_config=generator_optimizer_config,
+            discriminator=discriminator,
+            discriminator_optimizer=discriminator_optimizer,
+            discriminator_optimizer_config=discriminator_optimizer_config,
+            image_metrics=image_metrics,
+            early_stop_metric=config.early_stop_metric,
+            early_stop_patience=config.early_stop_patience,
+            epoch_train_summary_writer=config.epoch_train_summary_writer,
+            batch_train_summary_writer=config.batch_train_summary_writer,
+            epoch_validation_summary_writer=config.epoch_validation_summary_writer,
+            batch_validation_summary_writer=config.batch_validation_summary_writer,
+            config=config)

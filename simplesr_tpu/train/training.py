@@ -1,0 +1,105 @@
+"""Training operation: the epoch/batch driver loop.
+
+Parity with reference operations/training.py:13-112 — epoch loop with early
+stop, train + validation batch loops with after-batch hooks, periodic
+test_and_plot on one train batch / one val batch / all test batches, epoch
+timing + metric logging, JSON history dump, final PSNR/SSIM evaluation pass.
+
+TPU notes: the device work is fully async — `train_step` dispatches the
+jitted fused step and returns; the only forced syncs are the per-epoch metric
+formats. `jax.profiler` trace capture can be enabled around the epoch loop
+via `profile_dir` (the reference's perf logging analogue, SURVEY.md §5)."""
+
+import os
+import time
+import logging
+
+from simplesr_tpu.utils import logger as logger_mod
+from simplesr_tpu.utils.train_result import TrainResult
+
+log = logging.getLogger(logger_mod.RESULTS_LOGGER)
+
+
+def run_training(config, data_pipeline, sr_model, plotting_interval=1,
+                 profile_dir=None):
+    """Run a training session (see module docstring)."""
+    _log_configurations(config, data_pipeline, sr_model)
+    start_training = time.perf_counter()
+
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+
+    num_epochs = config.num_epochs
+    for epoch in range(num_epochs):
+        if sr_model.stop_early():
+            break
+        sr_model.before_epoch()
+        start_epoch = time.perf_counter()
+
+        for lr_batch, hr_batch in data_pipeline.train_batch_generator():
+            sr_model.train_step(lr_batch, hr_batch)
+            sr_model.after_train_batch()
+
+        for lr_batch, hr_batch in data_pipeline.validation_batch_generator():
+            sr_model.validation_step(lr_batch, hr_batch)
+            sr_model.after_validation_batch()
+
+        if epoch != 0 and plotting_interval and epoch % plotting_interval == 0:
+            _plot_progress(config, data_pipeline, sr_model)
+
+        epoch_duration = time.perf_counter() - start_epoch
+        log.info(f"epoch: {epoch} ({epoch_duration:.2f} sec)\n"
+                 + sr_model.formatted_epoch_metrics())
+        sr_model.after_epoch()
+
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+
+    training_duration = time.perf_counter() - start_training
+    log.info(f"finished training ({training_duration:.2f} sec)")
+    sr_model.after_training()
+
+    histories = sr_model.histories()
+    result = TrainResult(
+        sr_model.name,
+        histories["train_batch"], histories["train_epoch"],
+        histories["valid_batch"], histories["valid_epoch"],
+    )
+    dump_dir = os.path.join(getattr(config, "save_path", "."), "json_dump")
+    result.save_as_json(dump_dir)
+
+    log.info("calculating psnr/ssim on validation set")
+    from simplesr_tpu.eval import evaluation
+    evaluation.evaluate_on_validationdata(
+        config=config, model_name=sr_model.name, pipeline=data_pipeline,
+        model=sr_model)
+    log.info("done")
+    return result
+
+
+def _plot_progress(config, data_pipeline, sr_model):
+    for lr_batch, hr_batch in data_pipeline.train_batch_generator():
+        sr_model.test_and_plot(lr_batch, config.pic_dir_train, 0, hr_batch)
+        break
+    for lr_batch, hr_batch in data_pipeline.validation_batch_generator():
+        sr_model.test_and_plot(lr_batch, config.pic_dir_val, 0, hr_batch)
+        break
+    for step, (lr_batch, file_path) in enumerate(
+            data_pipeline.test_batch_generator(batch_size=config.batch_size)):
+        sr_model.test_and_plot(lr_batch, config.pic_dir_test, step, None)
+
+
+def _log_configurations(config, data_pipeline, sr_model):
+    path = getattr(config, "config_logfile", None)
+    if not path:
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "a+") as f:
+        f.write("# Base config\n")
+        f.write(f"{config}\n")
+        f.write("# Data Pipeline config\n")
+        f.write(f"{data_pipeline}\n")
+        f.write("# Model config\n")
+        f.write(f"{sr_model}\n")

@@ -17,8 +17,17 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
+import jax  # noqa: E402
+
+# A pytest plugin may import jax before this conftest runs, after which the
+# env var is ignored — force the platform through the config API too (safe
+# as long as no backend has been initialized yet).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 
 
 @pytest.fixture

@@ -43,7 +43,7 @@ def test_batch_shapes():
         assert hr.shape[1:] == (32, 32, 3)
         assert lr.shape[1:] == (16, 16, 3)
         assert hr.shape[0] == lr.shape[0] <= 4
-        assert float(jnp.max(hr)) <= 1.0 and float(jnp.min(hr)) >= -1.0
+        assert float(jnp.max(hr)) <= 1.0 + 1e-6 and float(jnp.min(hr)) >= -1.0 - 1e-6
         assert float(jnp.min(lr)) >= 0.0 and float(jnp.max(lr)) <= 1.0
 
 
