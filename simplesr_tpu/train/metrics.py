@@ -53,6 +53,10 @@ class MetricBundle:
     def results(self):
         return {n: m.result() for n, m in self.metrics.items() if m.count}
 
+    def last_values(self):
+        """Raw (possibly still on-device) last value per metric — no sync."""
+        return {n: m._values[-1] for n, m in self.metrics.items() if m.count}
+
     def reset(self):
         for m in self.metrics.values():
             m.reset_states()

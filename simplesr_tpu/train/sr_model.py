@@ -76,7 +76,9 @@ class SRModel:
                  resnet_checkpoint=None,
                  config=None,
                  seed=0,
-                 mesh=None):
+                 mesh=None,
+                 skip_nonfinite_updates=True,
+                 tb_batch_interval=50):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -94,6 +96,7 @@ class SRModel:
         self.name = model_type
         self._epochs = 0
         self._iterations = 0
+        self._tb_batch_interval = tb_batch_interval
         self._epoch_train_summary_writer = epoch_train_summary_writer
         self._batch_train_summary_writer = batch_train_summary_writer
         self._epoch_validation_summary_writer = epoch_validation_summary_writer
@@ -118,6 +121,17 @@ class SRModel:
         if self._model_type == "gan":
             self._d_tx = build_optimizer(discriminator_optimizer,
                                          discriminator_optimizer_config)
+
+        # Divergence guard: the reference documents RRDB training collapsing
+        # to black images with "restart training" as the recovery procedure
+        # (reference README.md:97-106; SURVEY.md §5). Wrapping the optimizers
+        # in optax.apply_if_finite silently drops steps with non-finite
+        # gradients instead of poisoning the params.
+        if skip_nonfinite_updates:
+            import optax
+            self._g_tx = optax.apply_if_finite(self._g_tx, max_consecutive_errors=100)
+            if self._d_tx is not None:
+                self._d_tx = optax.apply_if_finite(self._d_tx, max_consecutive_errors=100)
 
         # ---------------------------------------------------------- state
         g_vars = dict(generator.variables)
@@ -371,15 +385,29 @@ class SRModel:
         self._epochs += 1
 
     def after_train_batch(self):
-        """Log batch metrics to TB + history, reset (reference :519-529)."""
-        self._iterations = int(self._state.step)
-        self._log_batch_metrics_to_tb(train=True)
-        self._update_history(self._combined_batch_metrics(), self._train_batch_history)
+        """Log batch metrics to TB + history, reset (reference :519-529).
+
+        Async-hot-path note: the step counter is tracked host-side and batch
+        histories record the *raw device scalars* (materialized lazily at
+        serialization time), so this hook never blocks on the device.
+        Per-batch TensorBoard scalars — which do force a sync — are written
+        every ``tb_batch_interval`` steps instead of every step."""
+        self._iterations += 1
+        if self._batch_train_summary_writer is not None and \
+                self._tb_batch_interval and \
+                self._iterations % self._tb_batch_interval == 0:
+            self._log_batch_metrics_to_tb(train=True)
+        self._update_history(self._combined_batch_metrics(lazy=True),
+                             self._train_batch_history)
         self._reset_batch_metrics()
 
     def after_validation_batch(self):
-        self._log_batch_metrics_to_tb(train=False)
-        self._update_history(self._combined_batch_metrics(), self._valid_batch_history)
+        if self._batch_validation_summary_writer is not None and \
+                self._tb_batch_interval and \
+                self._iterations % self._tb_batch_interval == 0:
+            self._log_batch_metrics_to_tb(train=False)
+        self._update_history(self._combined_batch_metrics(lazy=True),
+                             self._valid_batch_history)
         self._reset_batch_metrics()
 
     def after_epoch(self):
@@ -516,7 +544,13 @@ class SRModel:
                     valid_batch=self._valid_batch_history,
                     valid_epoch=self._valid_epoch_history)
 
-    def _combined_batch_metrics(self):
+    def _combined_batch_metrics(self, lazy=False):
+        if lazy:
+            out = dict(self._batch_metrics.last_values())
+            out.update(self._generator.batch_metrics().last_values())
+            if self._model_type == "gan":
+                out.update(self._discriminator.batch_metrics().last_values())
+            return out
         out = dict(self._batch_metrics.results())
         out.update(self._generator.batch_metrics().results())
         if self._model_type == "gan":
