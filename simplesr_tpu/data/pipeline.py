@@ -33,8 +33,6 @@ from the reference, on purpose:
 """
 
 import os
-from typing import Optional, Sequence
-
 import numpy as np
 import jax
 import jax.numpy as jnp

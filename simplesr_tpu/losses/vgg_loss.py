@@ -13,7 +13,7 @@ boundary). Weights load from an .npz (models/vgg.py) or fall back to a
 seeded random init — this environment has no ImageNet download path.
 """
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ whole metric into a handful of kernels.
 import functools
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -8,7 +8,6 @@ weights are interchangeable with the reference layout. XLA lowers this to a
 free layout change fused into the neighbouring convs.
 """
 
-import jax.numpy as jnp
 
 __all__ = ["depth_to_space", "space_to_depth"]
 

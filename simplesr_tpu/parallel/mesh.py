@@ -9,7 +9,7 @@ SPMD partitioner inserts the psum gradient all-reduce over ICI (no NCCL-style
 hand-written collectives).
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

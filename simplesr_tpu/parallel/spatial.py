@@ -9,12 +9,9 @@ scaled halos off — a seam-free distributed upscale with no host round-trips.
 This is the framework's "context-parallel" analogue (SURVEY.md §5).
 """
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from simplesr_tpu.parallel.mesh import SPATIAL_AXIS

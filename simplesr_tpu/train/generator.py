@@ -10,7 +10,7 @@ runs inside SRModel's jitted step; the wrapper's MetricBundles accumulate the
 returned scalars outside jit.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ import json
 import os
 
 import jax
-import numpy as np
 from flax import serialization as flax_ser
 
 from simplesr_tpu.models import build_generator_model

@@ -26,9 +26,8 @@ G/D params, BatchNorm stats, optimizer states}, max_to_keep=5.
 """
 
 import os
-from functools import partial
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax

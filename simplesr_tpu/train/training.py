@@ -51,6 +51,7 @@ def run_training(config, data_pipeline, sr_model, plotting_interval=1,
         epoch_duration = time.perf_counter() - start_epoch
         log.info(f"epoch: {epoch} ({epoch_duration:.2f} sec)\n"
                  + sr_model.formatted_epoch_metrics())
+        _log_perf(config, epoch, epoch_duration, sr_model)
         sr_model.after_epoch()
 
     if profile_dir:
@@ -77,6 +78,21 @@ def run_training(config, data_pipeline, sr_model, plotting_interval=1,
         model=sr_model)
     log.info("done")
     return result
+
+
+def _log_perf(config, epoch, epoch_duration, sr_model):
+    """Append per-epoch wall time + step counts to config.perf_logfile.
+    (The reference creates this file path but never writes it —
+    SURVEY.md §5; here it gets real content.)"""
+    path = getattr(config, "perf_logfile", None)
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(f"epoch={epoch} duration_s={epoch_duration:.3f} "
+                    f"total_steps={sr_model.iterations()}\n")
+    except OSError:
+        pass
 
 
 def _plot_progress(config, data_pipeline, sr_model):

@@ -43,6 +43,7 @@ class _Cfg:
         self.pic_dir_val = str(tmp_path / "pics" / "val")
         self.pic_dir_test = str(tmp_path / "pics" / "test")
         self.config_logfile = str(tmp_path / "config_logfile")
+        self.perf_logfile = str(tmp_path / "perf_logfile")
 
     def __str__(self):
         return "test config"
@@ -73,6 +74,10 @@ def test_run_training_end_to_end(tmp_path):
     assert list((tmp_path / "models").glob("resnet_gen_best.msgpack"))
     assert list((tmp_path / "json_dump").glob("*.json"))
     assert (tmp_path / "config_logfile").exists()
+    # perf log written per epoch (the reference creates the path but never
+    # writes it; here it carries epoch timings)
+    perf = (tmp_path / "perf_logfile").read_text()
+    assert perf.count("epoch=") == 2 and "duration_s=" in perf
     assert list((tmp_path / "pics" / "train").rglob("*.png"))  # plotted grid
     # json round-trips
     f = next((tmp_path / "json_dump").glob("*train_epoch_history.json"))
