@@ -34,9 +34,11 @@ TRAIN_IMGS = [
     "/root/reference/data/datasets/div2k/4/0004.png",
     "/root/reference/data/datasets/div2k/8/0006.png",
     "/root/reference/tests/data/lena.png",
-    "/root/reference/tests/data/baboon.png",
 ]
-HELDOUT_IMG = "/root/reference/tests/data/comic.png"
+HELDOUT_IMGS = [
+    "/root/reference/tests/data/baboon.png",   # photographic, unseen
+    "/root/reference/tests/data/comic.png",    # line art, out of domain
+]
 CROP = 96
 BATCH = 16
 
@@ -140,7 +142,11 @@ def main(steps=4000, scale=2):
               f"{'BEATS_BICUBIC' if mp > bp else 'BELOW_BICUBIC'}", flush=True)
         return mp, bp
 
-    eval_image(HELDOUT_IMG, f"held-out comic.png (unseen) x{scale}")
+    # in-distribution check: a training member — the model must clearly beat
+    # bicubic here if the stack is learning correctly
+    eval_image(TRAIN_IMGS[2], f"train-member lena.png x{scale}")
+    for path in HELDOUT_IMGS:
+        eval_image(path, f"held-out {os.path.basename(path)} (unseen) x{scale}")
 
 
 if __name__ == "__main__":

@@ -42,3 +42,12 @@ __all__ = [
     "parallel",
     "utils",
 ]
+
+
+def __getattr__(name):
+    """Lazy subpackage access: `import simplesr_tpu; simplesr_tpu.train...`
+    without paying every layer's import cost up front."""
+    if name in __all__:
+        import importlib
+        return importlib.import_module(f"simplesr_tpu.{name}")
+    raise AttributeError(f"module 'simplesr_tpu' has no attribute {name!r}")

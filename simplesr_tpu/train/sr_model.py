@@ -495,6 +495,18 @@ class SRModel:
         Checkpoint object, :226-240)."""
         return self._ckpt_mgr.latest_step(), self._ckpt_mgr
 
+    def resume(self):
+        """Restore the latest checkpoint of this run's checkpoint directory
+        (full state: params, optimizer, step, best metric, RNG). Returns the
+        restored step or None if no checkpoint exists. Closes the reference's
+        open 'load GAN checkpoint' TODO (sr_model.py:169)."""
+        step = self._ckpt_mgr.latest_step()
+        if step is None:
+            return None
+        self._restore_latest_checkpoint()
+        self._iterations = int(self._state.step)
+        return step
+
     def save_model(self, save_path, postfix=None):
         """Save the generator as a whole-model file (.h5 equivalent,
         reference :233-244)."""
