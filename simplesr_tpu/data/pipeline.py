@@ -390,6 +390,26 @@ class DataPipeline:
 
         return _gen()
 
+    # ------------------------------------------------------------ debugging
+
+    def _dump_train_dataset(self, save_dir, n_epochs=1):
+        """Render every training batch as an LR/HR grid (reference
+        data_pipeline.py:285-291) — pipeline debugging aid."""
+        from simplesr_tpu.eval import rendering
+        for epoch in range(n_epochs):
+            for idx, (lr_batch, hr_batch) in enumerate(self.train_batch_generator()):
+                rendering.prepare_image_grid(
+                    save_dir, f"epoch{epoch}_{idx}_train", low_res_key="LR",
+                    LR=lr_batch, HR=hr_batch)
+
+    def _dump_validation_dataset(self, save_dir, n_epochs=1):
+        from simplesr_tpu.eval import rendering
+        for epoch in range(n_epochs):
+            for idx, (lr_batch, hr_batch) in enumerate(self.validation_batch_generator()):
+                rendering.prepare_image_grid(
+                    save_dir, f"epoch{epoch}_{idx}_val", low_res_key="LR",
+                    LR=lr_batch, HR=hr_batch)
+
     # ------------------------------------------------------------ factories
 
     def __str__(self):

@@ -168,6 +168,12 @@ class SRModel:
         # ---------------------------------------------------------- metrics
         self._image_metrics = image_metrics if image_metrics is not None else \
             dict(psnr=image_metrics_lib.psnr)
+        # early stopping tracks a metric that must actually be computed;
+        # auto-add it when it's one of the built-in image metrics
+        if early_stop_metric not in self._image_metrics and \
+                hasattr(image_metrics_lib, early_stop_metric):
+            self._image_metrics[early_stop_metric] = getattr(
+                image_metrics_lib, early_stop_metric)
         names = list(self._image_metrics)
         self._train_epoch_metrics = MetricBundle(names)
         self._valid_epoch_metrics = MetricBundle(names)
