@@ -83,8 +83,13 @@ def main(steps=4000, scale=2):
     print(f"staged {n} training pairs on device (scale x{scale})", flush=True)
 
     from simplesr_tpu.train.optimizers import piecewise_constant_decay
-    gen = Generator.srresnet(upsample_factor=scale, batch_norm=False,
+    arch = os.environ.get("QUALITY_ARCH", "srresnet")
+    if arch == "rrdb":
+        gen = Generator.rrdb(upsample_factor=scale, num_blocks=8,
                              input_dims=(CROP // scale, CROP // scale))
+    else:
+        gen = Generator.srresnet(upsample_factor=scale, batch_norm=False,
+                                 input_dims=(CROP // scale, CROP // scale))
     schedule = piecewise_constant_decay(
         [steps // 2, (3 * steps) // 4], [2e-4, 1e-4, 5e-5])
     model = SRModel(model_type="resnet", generator=gen,
