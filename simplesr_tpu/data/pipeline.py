@@ -122,6 +122,11 @@ class DataPipeline:
         self.augmentations = _resolve_augmentations(augmentations)
         self.jpg_noise = jpg_noise
         self.jpg_noise_level = jpg_noise_level
+        if jpg_noise and any(n == "adjust_jpg_quality" for n, _ in self.augmentations):
+            import logging
+            logging.getLogger("simple_sr").warning(
+                "augmenting hr images with jpg noise and additionally "
+                "degrading lr images with jpg noise")
         self.shard_by_process = shard_by_process
         self.train_val_split = train_val_split
         self.validationset_size = train_val_split

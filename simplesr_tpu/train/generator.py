@@ -143,8 +143,15 @@ class Generator:
     # ------------------------------------------------------------ compute
 
     def generate(self, lr_batch, training=False, variables=None):
-        """Host-facing SR generation with the current (or given) variables."""
+        """Host-facing SR generation with the current (or given) variables.
+        ``training=True`` uses batch statistics for BatchNorm (running-stat
+        updates are discarded — inside the jitted train step the stats flow
+        through SRModel's state instead)."""
         v = variables if variables is not None else self._variables
+        if training and "batch_stats" in v:
+            out, _ = self._module.apply(v, jnp.asarray(lr_batch), train=True,
+                                        mutable=["batch_stats"])
+            return out
         return self._apply_eval(v, jnp.asarray(lr_batch))
 
     def calculate_loss(self, sr_batch, hr_batch, sr_critic, hr_critic):

@@ -25,6 +25,16 @@ class MeanMetric:
     def result(self):
         if not self._values:
             return float("nan")
+        # Stack device scalars on-device and fetch ONCE — per-scalar fetches
+        # would pay a full host round trip each through the TPU tunnel.
+        try:
+            import jax.numpy as jnp
+            if any(hasattr(v, "devices") for v in self._values):
+                stacked = jnp.stack([jnp.asarray(v, jnp.float32)
+                                     for v in self._values])
+                return float(jnp.mean(stacked))
+        except Exception:
+            pass
         return float(np.mean([np.asarray(v, dtype=np.float64) for v in self._values]))
 
     def reset_states(self):
