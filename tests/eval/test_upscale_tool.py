@@ -1,0 +1,37 @@
+"""The upscale CLI tool end-to-end (tiny model, small image)."""
+
+import numpy as np
+from PIL import Image
+import jax.numpy as jnp
+
+from simplesr_tpu.train import Generator, save_model
+from simplesr_tpu.tools.upscale import upscale_files, main
+
+
+def _save_tiny_model(tmp_path):
+    gen = Generator.srresnet(upsample_factor=2, num_blocks=1, num_filters=8,
+                             dtype=jnp.float32, input_dims=(16, 16))
+    path = str(tmp_path / "gen.msgpack")
+    save_model(gen.module_config(), gen.variables, path)
+    return path
+
+
+def test_upscale_files(tmp_path, rng):
+    model = _save_tiny_model(tmp_path)
+    img = (rng.uniform(0, 255, (40, 56, 3))).astype(np.uint8)
+    in_path = str(tmp_path / "in.png")
+    Image.fromarray(img).save(in_path)
+    outs = upscale_files(model, [in_path], str(tmp_path / "out"), scale=2)
+    assert len(outs) == 1
+    out = np.asarray(Image.open(outs[0]))
+    assert out.shape == (80, 112, 3)
+
+
+def test_cli_main(tmp_path, rng):
+    model = _save_tiny_model(tmp_path)
+    in_path = str(tmp_path / "x.png")
+    Image.fromarray((rng.uniform(0, 255, (32, 32, 3))).astype(np.uint8)).save(in_path)
+    rc = main(["--model", model, "--scale", "2",
+               "--output", str(tmp_path / "o"), in_path])
+    assert rc == 0
+    assert (tmp_path / "o" / "x_x2.png").exists()

@@ -68,3 +68,22 @@ def test_tv_term_added(rng, vgg_params):
 def test_missing_weights_path_raises():
     with pytest.raises(ValueError):
         VGGLoss("block1_conv1", custom_weights=True)
+
+
+def test_custom_weights_npz_loading(tmp_path, rng, vgg_params):
+    """Weights loaded from an .npz file must reproduce the injected-params
+    loss exactly (the reference's custom_weights_path flow, vgg_loss.py:90)."""
+    import numpy as np
+
+    arrays = {}
+    for name, lp in vgg_params["params"].items():
+        arrays[f"{name}/kernel"] = np.asarray(lp["kernel"])
+        arrays[f"{name}/bias"] = np.asarray(lp["bias"])
+    path = tmp_path / "vgg19.npz"
+    np.savez(path, **arrays)
+
+    x = rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32)
+    a, _ = VGGLoss("block2_conv2", vgg_params=vgg_params)(x, y, None, None)
+    b, _ = VGGLoss("block2_conv2", custom_weights_path=str(path))(x, y, None, None)
+    assert float(a) == pytest.approx(float(b), rel=1e-6)
