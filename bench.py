@@ -63,7 +63,65 @@ def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN)
     return best
 
 
-def main():
+def measure_train_ms_per_step(steps=30):
+    """SRResNet ×4 fused train step, batch 16 × 96² crops (paper config)."""
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    from simplesr_tpu.train import Generator, SRModel
+
+    tmp = tempfile.mkdtemp()
+
+    class Cfg:
+        model_dir = tmp + "/m"
+        checkpoint_dir = tmp + "/c"
+        early_stop_metric = "psnr"
+        early_stop_patience = 10**6
+        epoch_train_summary_writer = None
+        batch_train_summary_writer = None
+        epoch_validation_summary_writer = None
+        batch_validation_summary_writer = None
+
+    rng = np.random.default_rng(0)
+    gen = Generator.srresnet(upsample_factor=4, input_dims=(24, 24))
+    model = SRModel(model_type="resnet", generator=gen,
+                    generator_optimizer="Adam",
+                    generator_optimizer_config={"learning_rate": 1e-4},
+                    config=Cfg)
+    lr = jnp.asarray(rng.uniform(0, 1, (16, 24, 24, 3)), jnp.float32)
+    hr = jnp.asarray(rng.uniform(-1, 1, (16, 96, 96, 3)), jnp.float32)
+    model.before_epoch()
+    model.train_step(lr, hr)
+
+    def fence():
+        import jax as _jax
+        return float(jnp.sum(_jax.tree_util.tree_leaves(
+            model.state.g_params)[0].astype(jnp.float32)))
+
+    fence()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            model.train_step(lr, hr)
+            model.after_train_batch()
+        fence()
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best * 1000.0
+
+
+def main(argv=None):
+    import sys
+    argv = sys.argv[1:] if argv is None else argv
+    if "--train" in argv:
+        ms = measure_train_ms_per_step()
+        print(json.dumps({
+            "metric": "srresnet_x4_train_ms_per_step_b16",
+            "value": round(ms, 2),
+            "unit": "ms/step",
+            "vs_baseline": None,
+        }))
+        return
     mpix_per_s = measure_inference_mpix_s()
     print(json.dumps({
         "metric": "srresnet_x4_inference_output_mpix_per_s",
