@@ -13,9 +13,13 @@ bf16), and an im2col band scratch. Each conv is computed band-by-band as a
 with PReLU and residual adds fused in place. HBM traffic per image drops from
 ~800 MB to 4 MB (one read + one write).
 
-Inference-only (bn=False trunks, or eval-mode with BN folded by the caller);
-training keeps the XLA path (autodiff through the kernel is not provided).
-Used via `models.srresnet.fast_trunk_apply` when shapes/alignments allow.
+Status: EXPERIMENTAL — semantics verified in interpreter mode
+(tests/ops/test_trunk_kernel.py); the roofline analysis in
+docs/performance.md caps its possible win at ~10–20 % (the binding
+constraint is MXU lane fill at C=64, not bandwidth), and the fully-unrolled
+body (blocks × bands × taps ≈ 2.8 k statements) makes the Mosaic compile
+impractically slow. A compiled variant would need `lax.fori_loop`-based
+banding with aligned dynamic slices. Not wired into the inference path.
 """
 
 import functools
