@@ -148,8 +148,11 @@ class ConfigUtil:
                         jpg_noise=False, jpg_noise_level=50,
                         shuffle_buffer_size=4096, random_seed=None,
                         resize_filter=None, antialias=True,
-                        early_stop_metric="psnr", early_stop_patience=5):
-        """Training-mode config (reference :207-246)."""
+                        early_stop_metric="psnr", early_stop_patience=5,
+                        data_parallel=False):
+        """Training-mode config (reference :207-246). ``data_parallel=True``
+        trains over a mesh of all visible devices (TPU-native addition —
+        SRModel shards the batch; XLA adds the ICI gradient all-reduce)."""
         test_data_paths = ConfigUtil._extract_multiple_data_paths(test_data_path)
         return ConfigUtil(
             train_data_paths=train_data_paths, num_epochs=num_epochs,
@@ -168,7 +171,11 @@ class ConfigUtil:
             shuffle_buffer_size=shuffle_buffer_size, random_seed=random_seed,
             early_stop_metric=early_stop_metric,
             early_stop_patience=early_stop_patience,
-            results_save_path=results_save_path)
+            results_save_path=results_save_path)._with_data_parallel(data_parallel)
+
+    def _with_data_parallel(self, flag):
+        self.data_parallel = bool(flag)
+        return self
 
     @staticmethod
     def evaluation_config(data_paths, test_originals_path, model_paths,

@@ -660,7 +660,14 @@ class SRModel:
              discriminator_optimizer=None, discriminator_optimizer_config=None,
              image_metrics=None):
         """Infer model type + pull early-stop/TB config from a ConfigUtil
-        (reference sr_model.py:704-740)."""
+        (reference sr_model.py:704-740). With ``config.data_parallel`` and
+        more than one device, training shards over a data mesh."""
+        mesh = None
+        if getattr(config, "data_parallel", False):
+            import jax as _jax
+            if len(_jax.devices()) > 1:
+                from simplesr_tpu.parallel import make_mesh
+                mesh = make_mesh()
         model_type = "resnet" if discriminator is None else "gan"
         return SRModel(
             model_type=model_type, generator=generator,
@@ -676,4 +683,4 @@ class SRModel:
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,
             batch_validation_summary_writer=config.batch_validation_summary_writer,
-            config=config)
+            config=config, mesh=mesh)
