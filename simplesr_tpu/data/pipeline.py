@@ -334,29 +334,49 @@ class DataPipeline:
                 crop_bank[f] = bank
             return bank[c]
 
-        pending = []  # async-dispatched device batches
-        for start in range(0, len(items), bs):
-            chunk = items[start:start + bs]
-            if drop_remainder and len(chunk) < bs:
-                break
+        def _assemble(chunk):
+            """Host side of one batch: decode/crop/stack (runs on the
+            prefetch worker; deterministic because the worker is single)."""
             crops = [_crop_for(f, c) for f, c, _ in chunk]
             shapes = {x.shape for x in crops}
             if len(shapes) > 1:
-                # whole-image mode with heterogeneous sizes → per-image batches
-                for (f, c, a), x in zip(chunk, crops):
-                    fn = self._prepare_batch_fn(1, x.shape[0], x.shape[1])
-                    pending.append(fn(jnp.asarray(x[None]),
-                                      jnp.asarray([a], jnp.int32), self._next_key()))
-                    if len(pending) > 2:
-                        yield pending.pop(0)
-                continue
+                return ("hetero", chunk, crops)
             hr = np.stack(crops)
             aug_ids = np.asarray([a for _, _, a in chunk], np.int32)
-            fn = self._prepare_batch_fn(len(chunk), hr.shape[1], hr.shape[2])
-            # async dispatch: keep up to 2 batches in flight on device
-            pending.append(fn(jnp.asarray(hr), jnp.asarray(aug_ids), self._next_key()))
-            if len(pending) > 2:
-                yield pending.pop(0)
+            return ("homo", hr, aug_ids)
+
+        chunks = [items[start:start + bs] for start in range(0, len(items), bs)]
+        if drop_remainder and chunks and len(chunks[-1]) < bs:
+            chunks.pop()
+
+        # Two-level pipelining: a single worker thread assembles host batches
+        # ahead (decode + crop + stack — the CPU-bound part), while the main
+        # thread keeps up to 2 prepared batches in flight on device.
+        from concurrent.futures import ThreadPoolExecutor
+        pending = []  # async-dispatched device batches
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futures = [pool.submit(_assemble, chunks[i])
+                       for i in range(min(2, len(chunks)))]
+            for i, chunk in enumerate(chunks):
+                kind, a, b = futures[i].result()
+                if i + 2 < len(chunks):
+                    futures.append(pool.submit(_assemble, chunks[i + 2]))
+                if kind == "hetero":
+                    # whole-image mode with heterogeneous sizes → per-image
+                    for (f, c, aug), x in zip(a, b):
+                        fn = self._prepare_batch_fn(1, x.shape[0], x.shape[1])
+                        pending.append(fn(jnp.asarray(x[None]),
+                                          jnp.asarray([aug], jnp.int32),
+                                          self._next_key()))
+                        if len(pending) > 2:
+                            yield pending.pop(0)
+                    continue
+                hr, aug_ids = a, b
+                fn = self._prepare_batch_fn(hr.shape[0], hr.shape[1], hr.shape[2])
+                pending.append(fn(jnp.asarray(hr), jnp.asarray(aug_ids),
+                                  self._next_key()))
+                if len(pending) > 2:
+                    yield pending.pop(0)
         yield from pending
 
     def train_batch_generator(self):
