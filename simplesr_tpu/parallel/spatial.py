@@ -49,8 +49,14 @@ def spatial_sharded_apply(apply_fn, image, mesh: Mesh, scale: int,
       image: (H, W, C); H must be divisible by the axis size.
       mesh: mesh containing `axis`.
       scale: the model's upsample factor.
-      halo: LR-pixel halo exchanged per side; like host tiling, exact when it
-        covers the model's receptive field.
+      halo: LR-pixel halo exchanged per side; inter-device seams are exact
+        when it covers the model's receptive field.
+
+    Boundary semantics: the image's OUTER borders are computed with zero rows
+    beyond the image at every layer (the first/last device's outer halo is
+    zero-filled), exactly like the host overlap-tiling path (ops/tiling.py
+    zero-pads before segmentation) — near-identical but not bit-equal to a
+    whole-image forward whose SAME padding re-zeroes at each conv.
 
     Returns: (s·H, s·W, C), sharded over the same axis.
     """

