@@ -14,10 +14,13 @@ scalar result; one dispatch latency amortizes over N iterations. Calibration:
 the same harness measures 165 TFLOP/s on chained 8192³ bf16 matmuls — ~84 %
 of v5e peak — confirming the clock.
 
-`vs_baseline` compares against REFERENCE_MPIX_S — an estimate of the TF2
-reference's throughput on its CUDA-10.1-era single GPU (the reference
+`vs_baseline` compares against REFERENCE_MPIX_S_GPU_ESTIMATE — an ESTIMATE of
+the TF2 reference's throughput on its CUDA-10.1-era single GPU (the reference
 publishes no numbers, BASELINE.md; ~5 MPix/s is generous for fp32 SRResNet ×4
-on a 2080-class card). North-star target is ≥5× (BASELINE.json).
+on a 2080-class card). The JSON labels it as an estimate and also reports the
+honest MEASURED floor: the reference's own code (unmodified, legacy-Keras)
+benchmarked on this host's CPU by scripts/measure_reference_floor.py —
+0.154 MPix/s. North-star target is ≥5× the estimate (BASELINE.json).
 """
 
 import json
@@ -25,7 +28,8 @@ import time
 
 import numpy as np
 
-REFERENCE_MPIX_S = 5.0
+REFERENCE_MPIX_S_GPU_ESTIMATE = 5.0    # NOT a measurement — see docstring
+REFERENCE_MPIX_S_CPU_MEASURED = 0.154  # scripts/measure_reference_floor.py
 
 BATCH = 16  # throughput saturates at ≥16 on v5e (52→81 MPix/s from 8→16)
 LR_HW = 128
@@ -127,7 +131,14 @@ def main(argv=None):
         "metric": "srresnet_x4_inference_output_mpix_per_s",
         "value": round(mpix_per_s, 2),
         "unit": "MPix/s/chip",
-        "vs_baseline": round(mpix_per_s / REFERENCE_MPIX_S, 2),
+        "vs_baseline": round(mpix_per_s / REFERENCE_MPIX_S_GPU_ESTIMATE, 2),
+        "baseline_note": {
+            "reference_gpu_mpix_s": REFERENCE_MPIX_S_GPU_ESTIMATE,
+            "reference_gpu_is_estimate": True,  # ref publishes no numbers
+            "reference_cpu_measured_floor_mpix_s": REFERENCE_MPIX_S_CPU_MEASURED,
+            "vs_measured_cpu_floor": round(
+                mpix_per_s / REFERENCE_MPIX_S_CPU_MEASURED, 1),
+        },
     }))
 
 

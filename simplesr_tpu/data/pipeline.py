@@ -101,6 +101,7 @@ class DataPipeline:
                  jpg_noise=False,
                  jpg_noise_level=50,
                  shard_by_process=False,
+                 drop_remainder=False,
                  use_native=True):
         self.scale = int(scale)
         self.data_path = None if hr_img_path is None else (
@@ -128,6 +129,10 @@ class DataPipeline:
                 "augmenting hr images with jpg noise and additionally "
                 "degrading lr images with jpg noise")
         self.shard_by_process = shard_by_process
+        # Drop uneven final batches (tf.data drop_remainder). Required for
+        # static per-device batch shapes under a data mesh; SRModel also
+        # trims defensively when this is off.
+        self.drop_remainder = drop_remainder
         self.train_val_split = train_val_split
         self.validationset_size = train_val_split
 
@@ -383,7 +388,8 @@ class DataPipeline:
         """Yields (lr, hr) device batches for training."""
         if not self.train_imgs:
             return iter([])
-        return self._iter_batches(self.train_imgs, shuffle=True, with_augs=True)
+        return self._iter_batches(self.train_imgs, shuffle=True, with_augs=True,
+                                  drop_remainder=self.drop_remainder)
 
     def validation_batch_generator(self):
         """Yields (lr, hr) device batches for validation (no augmentation,
@@ -471,6 +477,8 @@ class DataPipeline:
             shuffle_buffer_size=config.shuffle_buffer_size,
             minimum_variation_patch=config.minimum_variation_patch,
             minimum_variation_batch=config.minimum_variation_batch,
+            # data-parallel runs need mesh-divisible batches
+            drop_remainder=getattr(config, "data_parallel", False),
         )
 
     @staticmethod

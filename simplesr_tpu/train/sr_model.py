@@ -325,10 +325,36 @@ class SRModel:
 
     # ========================================================== public steps
 
+    def _fit_batch_to_mesh(self, lr_batch, hr_batch):
+        """Under a data mesh the jitted steps shard the batch dimension, so
+        B must divide the data-axis size. Uneven final batches from the
+        pipeline are trimmed to the largest shardable multiple (the tf.data
+        ``drop_remainder`` analogue) instead of dying with a raw XLA
+        sharding error; a too-small batch is skipped entirely."""
+        if self._mesh is None:
+            return lr_batch, hr_batch
+        n = self._mesh.devices.size
+        b = lr_batch.shape[0]
+        if b % n == 0:
+            return lr_batch, hr_batch
+        import logging
+        keep = (b // n) * n
+        if keep == 0:
+            logging.getLogger("simple_sr").warning(
+                "skipping batch of %d: smaller than the %d-device data mesh", b, n)
+            return None, None
+        logging.getLogger("simple_sr").warning(
+            "trimming uneven batch %d -> %d for the %d-device data mesh "
+            "(enable DataPipeline(drop_remainder=True) to avoid this)", b, keep, n)
+        return lr_batch[:keep], hr_batch[:keep]
+
     def train_step(self, lr_batch, hr_batch):
         """One optimization step (reference sr_model.py:403-453)."""
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()
+        lr_batch, hr_batch = self._fit_batch_to_mesh(lr_batch, hr_batch)
+        if lr_batch is None:
+            return
         self._state, metrics = self._train_step_fn(
             self._state, jnp.asarray(lr_batch), jnp.asarray(hr_batch))
         self._generator.accumulate_metrics(metrics["g"], train=True)
@@ -342,6 +368,9 @@ class SRModel:
         """One validation pass (reference sr_model.py:455-480)."""
         if self._valid_step_fn is None:
             self._valid_step_fn = self._build_valid_step()
+        lr_batch, hr_batch = self._fit_batch_to_mesh(lr_batch, hr_batch)
+        if lr_batch is None:
+            return
         key = jax.random.fold_in(jax.random.key(4711), self._iterations)
         metrics = self._valid_step_fn(self._state, jnp.asarray(lr_batch),
                                       jnp.asarray(hr_batch), key)
@@ -427,8 +456,13 @@ class SRModel:
         tracked = self._valid_epoch_metrics.ensure(self._early_stop_metric).result()
         if np.isnan(tracked):  # no validation data → fall back to train metric
             tracked = self._train_epoch_metrics.ensure(self._early_stop_metric).result()
-        self._state = self._state.replace(
-            best_metric=jnp.asarray(tracked, jnp.float32))
+        # best_metric holds the RUNNING BEST of the tracked metric — the value
+        # the best-checkpoint was saved at (reference sr_model.py:593-599) —
+        # not the last epoch's value; a down-epoch must leave it unchanged.
+        if not np.isnan(tracked) and \
+                float(tracked) > float(self._state.best_metric):
+            self._state = self._state.replace(
+                best_metric=jnp.asarray(tracked, jnp.float32))
 
         if self._check_early_stopping():
             self._restore_latest_checkpoint()

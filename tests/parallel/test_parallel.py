@@ -130,3 +130,57 @@ def test_spatial_apply_with_real_generator(rng):
         scale=2, halo=4)
     assert out.shape == (128, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_uneven_batch_on_mesh_does_not_crash(rng, tmp_path):
+    """An uneven final batch (B % n_devices != 0) must be trimmed/skipped
+    gracefully under a data mesh, not die with a raw XLA sharding error."""
+    from simplesr_tpu.train import Generator, SRModel
+
+    gen = Generator.srresnet(upsample_factor=2, num_blocks=1, num_filters=8,
+                             dtype=jnp.float32, input_dims=(8, 8))
+
+    class Cfg:
+        model_dir = str(tmp_path / "m"); checkpoint_dir = str(tmp_path / "c")
+        early_stop_metric = "psnr"; early_stop_patience = 10
+        epoch_train_summary_writer = None; batch_train_summary_writer = None
+        epoch_validation_summary_writer = None; batch_validation_summary_writer = None
+
+    model = SRModel(model_type="resnet", generator=gen,
+                    generator_optimizer="SGD",
+                    generator_optimizer_config={"learning_rate": 0.1},
+                    config=Cfg, mesh=make_mesh(), seed=0)
+
+    def batch(b):
+        lr = rng.uniform(0, 1, size=(b, 8, 8, 3)).astype(np.float32)
+        hr = rng.uniform(-1, 1, size=(b, 16, 16, 3)).astype(np.float32)
+        return lr, hr
+
+    model.train_step(*batch(8))          # even: full batch
+    step_after_even = int(model.state.step)
+    model.train_step(*batch(12))         # uneven: trimmed to 8
+    assert int(model.state.step) == step_after_even + 1
+    model.train_step(*batch(5))          # smaller than mesh: skipped
+    assert int(model.state.step) == step_after_even + 1
+    model.validation_step(*batch(12))    # validation path trims too
+
+
+def test_pipeline_drop_remainder(tmp_path):
+    """drop_remainder=True yields only full batches from the train
+    generator (needed for static per-device shapes under a mesh)."""
+    from PIL import Image
+    d = tmp_path / "imgs"; d.mkdir()
+    arr = (np.arange(48 * 48 * 3) % 255).reshape(48, 48, 3).astype(np.uint8)
+    for i in range(3):
+        Image.fromarray(arr).save(d / f"{i}.png")
+
+    from simplesr_tpu.data import DataPipeline
+    # 3 imgs x 1 crop x 1 (no augs) = 3 items, batch 2 -> 2 batches, last uneven
+    kw = dict(hr_img_path=str(d), scale=2, train_val_split=0.0, batch_size=2,
+              crop=True, crop_size=(16, 16, 3), num_crops=1, random_seed=0)
+    sizes = [b[0].shape[0] for b in
+             DataPipeline(**kw).train_batch_generator()]
+    assert sorted(sizes) == [1, 2]
+    sizes = [b[0].shape[0] for b in
+             DataPipeline(drop_remainder=True, **kw).train_batch_generator()]
+    assert sizes == [2]

@@ -205,3 +205,22 @@ def test_generator_weighted_metrics_present(rng, tmp_path):
     assert "weighted_mean_squared_error" in m
     assert m["weighted_mean_squared_error"] == pytest.approx(
         0.5 * m["mean_squared_error"], rel=1e-5)
+
+
+def test_best_metric_tracks_running_best(rng, tmp_path):
+    """state.best_metric must hold the running BEST of the tracked metric
+    across epochs (reference sr_model.py:593-599 saves the checkpoint — and
+    with it the metric value — only on new-best epochs); a down-epoch must
+    not overwrite it with the lower value."""
+    model = SRModel(model_type="resnet", generator=_tiny_generator(),
+                    generator_optimizer="Adam",
+                    generator_optimizer_config={"learning_rate": 1e-2},
+                    config=_cfg(tmp_path))
+    history = [10.0, 30.0, 20.0, 25.0]  # up, then down, then partial recovery
+    for value in history:
+        model.before_epoch()
+        model._valid_epoch_metrics.ensure("psnr")(jnp.asarray(value))
+        model.after_epoch()
+        assert float(model.state.best_metric) == max(
+            history[:history.index(value) + 1])
+    assert float(model.state.best_metric) == 30.0
