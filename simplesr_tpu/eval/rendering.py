@@ -8,7 +8,8 @@ for -1), LR images padded+centered via ``low_res_key``, optional original
 image pasted alongside, rotated column labels when no original is given.
 Per-image min/max auto-scaling matches Keras array_to_img (tensor_to_img,
 image_utils.py:28) so [-1,1], [0,1] and [0,255] tensors all render. Font:
-DejaVuSansMono-Bold (system) with PIL default fallback.
+bundled DejaVuSansMono-Bold (the reference bundles NotoSansMono-Bold the
+same way, image_utils.py:527), system DejaVu / PIL default as fallbacks.
 """
 
 import os
@@ -18,10 +19,17 @@ from PIL import Image, ImageDraw, ImageFont
 
 __all__ = ["tensor_to_img", "save_single", "combine_halfs", "prepare_image_grid"]
 
+# bundled first — annotation output must not depend on the host's font set
 _FONT_CANDIDATES = (
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "resources", "DejaVuSansMono-Bold.ttf"),
     "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
 )
+
+# annotation geometry: tags sit this many px inside the image border, on an
+# opaque black box so they stay readable over any image content
+_TAG_INSET = 5
 
 
 def _load_font(font_size=10):
@@ -31,6 +39,12 @@ def _load_font(font_size=10):
         except OSError:
             continue
     return ImageFont.load_default()
+
+
+def _tag_font(canvas_width):
+    """Annotation text scales with the tile it lands on: ~16 px at 1024-wide
+    and above, shrinking on small tiles with a 6 px legibility floor."""
+    return _load_font(max(6, 16 - 1024 // max(canvas_width, 1)))
 
 
 def _as_numpy(tensor):
@@ -60,18 +74,23 @@ def _text_size(font, text):
         return font.getsize(text)
 
 
-def _annotate_img(img, text, color, loc=None):
-    draw = ImageDraw.Draw(img)
-    font = _load_font(font_size=int(max(6, 16 - (1024 // max(img.width, 1)))))
-    width, height = _text_size(font, text)
-    if loc is None:
-        loc = (5, img.size[1] - (5 + height))
-    elif loc == "right":
-        loc = (img.width - (width + 5), img.height - (5 + height))
-    elif loc == "ssim":
-        loc = (img.width - (width + 5), img.height - 2 * (5 + height))
-    draw.rectangle((*loc, loc[0] + width, loc[1] + height), fill="black")
-    draw.text(loc, text, font=font, fill=color)
+def _stamp(img, text, color, *, right=False, stack=0):
+    """Stamp a boxed text tag onto ``img``.
+
+    Tags anchor to the bottom edge, ``_TAG_INSET`` px in: labels at the
+    bottom-left (``right=False``), metric values at the bottom-right.
+    ``stack`` lifts a tag by that many tag-heights so several right-side
+    metrics stack upward (ssim above psnr) without overlapping — the same
+    placement convention the reference's grids use, rebuilt from the layout
+    rule rather than its code.
+    """
+    font = _tag_font(img.width)
+    tw, th = _text_size(font, text)
+    x = _TAG_INSET if not right else img.width - tw - _TAG_INSET
+    y = img.height - (th + _TAG_INSET) * (stack + 1)
+    pen = ImageDraw.Draw(img)
+    pen.rectangle((x, y, x + tw, y + th), fill="black")
+    pen.text((x, y), text, font=font, fill=color)
 
 
 def save_single(tensor, save_dir, fname, label=None):
@@ -84,7 +103,7 @@ def save_single(tensor, save_dir, fname, label=None):
     for idx, t in enumerate(items):
         img = tensor_to_img(t)
         if label is not None:
-            _annotate_img(img, label, (0, 255, 0))
+            _stamp(img, label, (0, 255, 0))
         suffix = "" if x.ndim == 3 else f"_{idx}"
         img.save(os.path.join(save_dir, f"{fname}{suffix}.png"))
 
@@ -106,9 +125,9 @@ def combine_halfs(left_tensor, right_tensor, left_label, save_dir, fname,
     imgs = []
     for idx, (l, r) in enumerate(zip(left, right)):
         l_img = tensor_to_img(l)
-        _annotate_img(l_img, left_label, (0, 255, 0))
+        _stamp(l_img, left_label, (0, 255, 0))
         r_img = tensor_to_img(r).resize(l_img.size)
-        _annotate_img(r_img, right_label, (255, 0, 0), loc="right")
+        _stamp(r_img, right_label, (255, 0, 0), right=True)
 
         main = Image.new("RGB", l_img.size, (255, 255, 255))
         half, end, bottom = l_img.width // 2, l_img.width, l_img.height
@@ -187,35 +206,52 @@ def prepare_image_grid(save_dir, fname, low_res_key=None, original=None,
             _resize(tensors["ground truth"], (max_h, max_w), method="bicubic"))
 
     num_rows = len(tensors)
-    column_label_width = 0 if original is not None else int(num_cols * max_w * 0.05)
-    grid_w = num_cols * max_w + column_label_width
-    grid_h = num_rows * max_h
-    grid_img = Image.new("RGB", (grid_w, grid_h), (255, 255, 255))
 
-    y = 0
-    for label, x in tensors.items():
-        if label == low_res_key:
-            x = _pad_image_batch(x, max_h, max_w)
-        row_psnr = psnr.get(label) if psnr else None
-        row_ssim = ssim.get(label) if ssim else None
-        if original is None and column_label_width > 0:
-            _annotate_column(grid_img, label, (0, 255, 0), column_label_width,
-                             max_h, ypos=y)
-            inline_label = None
-        else:
-            inline_label = label
-        for idx in range(x.shape[0]):
-            img = tensor_to_img(x[idx])
-            if inline_label is not None:
-                _annotate_img(img, inline_label, (0, 255, 0))
-            if row_psnr is not None:
-                _annotate_img(img, f"psnr: {_metric_string(row_psnr, idx)}",
-                              (255, 0, 0), loc="right")
-            if row_ssim is not None:
-                _annotate_img(img, f"ssim: {_metric_string(row_ssim, idx)}",
-                              (255, 0, 0), loc="ssim")
-            grid_img.paste(img, (column_label_width + max_w * idx, y))
-        y += max_h
+    def _tile(label, x, idx, inline_label):
+        """One annotated grid tile: inline label bottom-left, psnr
+        bottom-right, ssim stacked above it."""
+        img = tensor_to_img(x[idx])
+        if inline_label:
+            _stamp(img, label, (0, 255, 0))
+        if psnr and psnr.get(label) is not None:
+            _stamp(img, f"psnr: {_metric_string(psnr[label], idx)}",
+                   (255, 0, 0), right=True)
+        if ssim and ssim.get(label) is not None:
+            _stamp(img, f"ssim: {_metric_string(ssim[label], idx)}",
+                   (255, 0, 0), right=True, stack=1)
+        return img
+
+    if num_cols == 1:
+        # single-sample grids lay the models out SIDE BY SIDE in one row
+        # with inline labels — no rotated-label gutter (reference
+        # image_utils.py:341-366 has this dedicated num_cols==1 layout)
+        grid_w, grid_h = num_rows * max_w, max_h
+        grid_img = Image.new("RGB", (grid_w, grid_h), (255, 255, 255))
+        for col, (label, x) in enumerate(tensors.items()):
+            if label == low_res_key:
+                x = _pad_image_batch(x, max_h, max_w)
+            grid_img.paste(_tile(label, x, 0, inline_label=True),
+                           (col * max_w, 0))
+    else:
+        # multi-sample grids: one row per model, samples as columns; row
+        # labels go in a rotated gutter on the left unless an original
+        # image will be pasted there instead
+        column_label_width = 0 if original is not None else int(num_cols * max_w * 0.05)
+        grid_w = num_cols * max_w + column_label_width
+        grid_h = num_rows * max_h
+        grid_img = Image.new("RGB", (grid_w, grid_h), (255, 255, 255))
+        for row, (label, x) in enumerate(tensors.items()):
+            if label == low_res_key:
+                x = _pad_image_batch(x, max_h, max_w)
+            gutter = original is None and column_label_width > 0
+            if gutter:
+                grid_img.paste(
+                    _row_label_strip(label, column_label_width, max_h,
+                                     (0, 255, 0), grid_w),
+                    (0, row * max_h))
+            for idx in range(x.shape[0]):
+                grid_img.paste(_tile(label, x, idx, inline_label=not gutter),
+                               (column_label_width + max_w * idx, row * max_h))
 
     if original is not None:
         origin = Image.open(original) if isinstance(original, (str, os.PathLike)) else original
@@ -225,7 +261,7 @@ def prepare_image_grid(save_dir, fname, low_res_key=None, original=None,
         oh = grid_img.height
         ow = max(1, int(aspect * oh))
         origin = origin.resize((ow, oh))
-        _annotate_img(origin, "original", (255, 0, 255))
+        _stamp(origin, "original", (255, 0, 255))
         combined = Image.new("RGB", (grid_w + ow, grid_h), (255, 255, 255))
         combined.paste(origin, (0, 0))
         combined.paste(grid_img, (ow, 0))
@@ -237,10 +273,13 @@ def prepare_image_grid(save_dir, fname, low_res_key=None, original=None,
     return out_path
 
 
-def _annotate_column(img, text, color, width, height, ypos, xpos=0):
-    tmp = Image.new("RGB", (height, width), (0, 0, 0))
-    draw = ImageDraw.Draw(tmp)
-    font = _load_font(font_size=int(max(6, 16 - (1024 // max(img.width, 1)))))
-    _, font_h = _text_size(font, text)
-    draw.text((5, width - (5 + font_h)), text, font=font, fill=color)
-    img.paste(tmp.rotate(90, expand=1), (xpos, ypos))
+def _row_label_strip(text, strip_w, strip_h, color, grid_width):
+    """A vertical (strip_w × strip_h) black band carrying the row label,
+    reading bottom-to-top. Built by typesetting horizontally onto a sideways
+    canvas and transposing it upright — PIL has no vertical text layout."""
+    sideways = Image.new("RGB", (strip_h, strip_w))
+    font = _tag_font(grid_width)
+    text_h = _text_size(font, text)[1]
+    ImageDraw.Draw(sideways).text(
+        (_TAG_INSET, strip_w - text_h - _TAG_INSET), text, font=font, fill=color)
+    return sideways.transpose(Image.Transpose.ROTATE_90)

@@ -69,3 +69,26 @@ def test_grid_with_original(rng, tmp_path):
         model=rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
     img = Image.open(out)
     assert img.width > 2 * 32  # original pasted alongside
+
+
+def test_single_column_grid_side_by_side(rng, tmp_path):
+    """num_cols == 1: models are laid out side by side in one row with
+    inline labels — no rotated-label gutter (reference
+    image_utils.py:341-366)."""
+    out = rendering.prepare_image_grid(
+        str(tmp_path), "single",
+        model=rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32),
+        bicubic=rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32),
+        LR=rng.uniform(0, 1, size=(1, 16, 16, 3)).astype(np.float32),
+        low_res_key="LR")
+    img = Image.open(out)
+    assert img.size == (3 * 32, 32)  # exactly 3 tiles wide, no gutter
+
+
+def test_bundled_font_loads():
+    """Annotations must not depend on system fonts: the packaged DejaVu
+    TTF is found and loads at a size PIL's default font can't provide."""
+    font = rendering._load_font(14)
+    from PIL import ImageFont
+    assert isinstance(font, ImageFont.FreeTypeFont)
+    assert "simplesr_tpu" in getattr(font, "path", "")
