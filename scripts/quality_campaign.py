@@ -1,0 +1,329 @@
+"""Quality-parity campaign: the committed-results analogue of the
+reference's published galleries (/root/reference/docs/src/results/results.rst).
+
+Trains SRResNet x2 and RRDB x2 to convergence (early-stopped) on every real
+photo available in this zero-egress environment, then a two-stage
+pretrain -> SRGAN run, and produces:
+
+  results/quality_r2/RESULTS.md       PSNR / PSNR-Y / SSIM vs bicubic table
+  results/quality_r2/RESULTS.json     same, machine-readable
+  results/quality_r2/models/          trained model files
+  results/quality_r2/galleries/       annotated comparison grids + half-splits
+
+Corpus (everything there is): train = div2k 0004 + div2k 0006 + lena;
+held out (never seen, not used for early stopping) = baboon (photo, in
+domain) and comic (line art, out of domain). Validation crops are drawn
+from the *training* images with an RNG stream disjoint from the training
+crops, so model selection never sees the held-out set.
+
+x2 because the corpus is 3 images: x4 SR needs the real 800-image DIV2K to
+beat bicubic (paper models train 1e5-1e6 steps); x2 converges meaningfully
+here. All crops are generated ON DEVICE from the uploaded full images (the
+axon tunnel makes per-batch host uploads the bottleneck — see
+docs/performance.md), and the full SRModel lifecycle runs: epochs,
+validation, early stopping, best-checkpoint restore.
+
+Run: python scripts/quality_campaign.py [--fast]   (--fast: tiny smoke)
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simplesr_tpu.data import read_img
+from simplesr_tpu.ops import (augment, batch_random_crops, psnr, psnr_on_y,
+                              resize, ssim)
+from simplesr_tpu.train import Discriminator, Generator, SRModel
+from simplesr_tpu.train.optimizers import piecewise_constant_decay
+from simplesr_tpu.eval import rendering
+
+TRAIN_IMGS = {
+    "div2k_0004": "/root/reference/data/datasets/div2k/4/0004.png",
+    "div2k_0006": "/root/reference/data/datasets/div2k/8/0006.png",
+    "lena": "/root/reference/tests/data/lena.png",
+}
+HELDOUT_IMGS = {
+    "baboon": "/root/reference/tests/data/baboon.png",
+    "comic": "/root/reference/tests/data/comic.png",
+}
+SCALE = 2
+CROP = 96
+BATCH = 16
+AUGS = ["flip_along_x", "flip_along_y", "rotate90"]
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "results", "quality_r2")
+
+
+def _cfg(tmp, patience):
+    class Cfg:
+        model_dir = tmp + "/models"
+        checkpoint_dir = tmp + "/ckpt"
+        early_stop_metric = "psnr"
+        early_stop_patience = patience
+        epoch_train_summary_writer = None
+        batch_train_summary_writer = None
+        epoch_validation_summary_writer = None
+        batch_validation_summary_writer = None
+    return Cfg
+
+
+def _pairs(hr_crops):
+    lr = resize(hr_crops / 255.0, (CROP // SCALE, CROP // SCALE),
+                method="bicubic", antialias=True)
+    return (jnp.asarray(lr, jnp.float32),
+            jnp.asarray(hr_crops / 127.5 - 1.0, jnp.float32))
+
+
+def stage_dataset(crops_per_mpix=96, val_crops_per_img=32):
+    """Upload full train images once; crop + augment on device.
+    Training and validation crops use disjoint RNG streams."""
+    train_parts, val_parts = [], []
+    for i, (name, path) in enumerate(TRAIN_IMGS.items()):
+        img = jnp.asarray(read_img(path))
+        mpix = img.shape[0] * img.shape[1] / 1e6
+        n = max(48, int(mpix * crops_per_mpix))
+        train_parts.append(batch_random_crops(
+            jax.random.key(1000 + i), img[None], num_crops=n,
+            patch_size=(CROP, CROP)))
+        val_parts.append(batch_random_crops(
+            jax.random.key(2000 + i), img[None], num_crops=val_crops_per_img,
+            patch_size=(CROP, CROP)))
+    base = jnp.concatenate(train_parts)
+    fanout = [base]
+    for i, name in enumerate(AUGS):
+        fn = augment.AUGMENTATIONS[name]
+        keys = jax.random.split(jax.random.key(3000 + i), base.shape[0])
+        fanout.append(jax.vmap(lambda k, x, f=fn: f(k, x))(keys, base))
+    hr_train = jnp.concatenate(fanout)
+    lr_train, hr_train = _pairs(hr_train)
+    n = (hr_train.shape[0] // BATCH) * BATCH
+    lr_val, hr_val = _pairs(jnp.concatenate(val_parts))
+    m = (hr_val.shape[0] // BATCH) * BATCH
+    return (lr_train[:n], hr_train[:n]), (lr_val[:m], hr_val[:m])
+
+
+def run_training(model, train, val, max_epochs, label):
+    (lr_t, hr_t), (lr_v, hr_v) = train, val
+    n = lr_t.shape[0]
+    batches = n // BATCH
+    perm_key = jax.random.key(7)
+    t0 = time.perf_counter()
+    for epoch in range(max_epochs):
+        if model.stop_early():
+            print(f"[{label}] early stop after epoch {epoch}", flush=True)
+            break
+        model.before_epoch()
+        perm_key, sub = jax.random.split(perm_key)
+        order = jax.random.permutation(sub, n)
+        lr_t, hr_t = lr_t[order], hr_t[order]
+        for b in range(batches):
+            model.train_step(lr_t[b * BATCH:(b + 1) * BATCH],
+                             hr_t[b * BATCH:(b + 1) * BATCH])
+            model.after_train_batch()
+        for b in range(lr_v.shape[0] // BATCH):
+            model.validation_step(lr_v[b * BATCH:(b + 1) * BATCH],
+                                  hr_v[b * BATCH:(b + 1) * BATCH])
+            model.after_validation_batch()
+        model.after_epoch()
+        val_psnr = model.histories()["valid_epoch"]["psnr"][-1]
+        print(f"[{label}] epoch {epoch + 1}: val psnr "
+              f"{float(np.asarray(val_psnr)):.3f} best "
+              f"{float(model.state.best_metric):.3f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    model.after_training()
+    return model
+
+
+def _full_image_sr(model, img_01):
+    """Whole-image x2 SR (dims cropped to a multiple of SCALE)."""
+    h = (img_01.shape[0] // SCALE) * SCALE
+    w = (img_01.shape[1] // SCALE) * SCALE
+    hr_ref = jnp.asarray(img_01[:h, :w]) * 2.0 - 1.0
+    lr = resize(jnp.asarray(img_01[None, :h, :w]), (h // SCALE, w // SCALE),
+                method="bicubic", antialias=True)
+    sr = jnp.asarray(model.generate(lr)[0], jnp.float32)
+    bic = resize(lr * 2.0 - 1.0, (h, w), method="bicubic")[0]
+    return hr_ref, sr, bic, lr[0]
+
+
+def evaluate(model, label, results):
+    for name, path in {**TRAIN_IMGS, **HELDOUT_IMGS}.items():
+        img = read_img(path) / 255.0
+        hr, sr, bic, _ = _full_image_sr(model, img)
+        row = {}
+        for tag, out in (("model", sr), ("bicubic", bic)):
+            row[tag] = {
+                "psnr": round(float(psnr(hr[None], out[None], max_val=2.0)[0]), 3),
+                "psnr_y": round(float(psnr_on_y(hr[None], out[None], max_val=2.0)[0]), 3),
+                "ssim": round(float(ssim(hr[None], out[None], max_val=2.0)[0]), 4),
+            }
+        row["heldout"] = name in HELDOUT_IMGS
+        results.setdefault(label, {})[name] = row
+        print(f"[{label}] {name}: model {row['model']['psnr']:.2f}dB "
+              f"ssim {row['model']['ssim']:.4f} | bicubic "
+              f"{row['bicubic']['psnr']:.2f}dB ssim {row['bicubic']['ssim']:.4f}"
+              f"{' (heldout)' if row['heldout'] else ''}", flush=True)
+    return results
+
+
+def render_galleries(model, label):
+    """Annotated grid + half-split for each held-out image (the analogue of
+    the reference's results galleries)."""
+    gal_dir = os.path.join(OUT_DIR, "galleries", label)
+    for name, path in HELDOUT_IMGS.items():
+        img = read_img(path) / 255.0
+        hr, sr, bic, lr = _full_image_sr(model, img)
+        vals = {}
+        for tag, out in (("model", sr), ("bicubic", bic)):
+            vals[tag] = (float(psnr(hr[None], out[None], max_val=2.0)[0]),
+                         float(ssim(hr[None], out[None], max_val=2.0)[0]))
+        rendering.prepare_image_grid(
+            gal_dir, f"{name}_grid", low_res_key="LR",
+            model=np.asarray(sr)[None], bicubic=np.asarray(bic)[None],
+            LR=np.asarray(lr)[None],
+            **{"ground truth": np.asarray(hr)[None]},
+            psnr={"model": np.array([vals["model"][0]]),
+                  "bicubic": np.array([vals["bicubic"][0]]),
+                  "LR": np.array([-1.0]), "ground truth": np.array([np.inf])},
+            ssim={"model": np.array([vals["model"][1]]),
+                  "bicubic": np.array([vals["bicubic"][1]]),
+                  "LR": np.array([-1.0]), "ground truth": np.array([1.0])})
+        rendering.combine_halfs(np.asarray(sr), np.asarray(bic), "sr",
+                                gal_dir, f"{name}_half")
+
+
+def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
+                tiny=False):
+    schedule = piecewise_constant_decay(
+        [steps_hint // 2, (3 * steps_hint) // 4], [2e-4, 1e-4, 5e-5])
+    lr_dims = (CROP // SCALE, CROP // SCALE)
+    size = dict(num_blocks=2, num_filters=16) if tiny else {}
+    if arch == "srresnet":
+        gen = Generator.srresnet(upsample_factor=SCALE, batch_norm=False,
+                                 input_dims=lr_dims, **size)
+    elif arch == "rrdb":
+        gen = Generator.rrdb(upsample_factor=SCALE,
+                             input_dims=lr_dims, **(size or dict(num_blocks=8)))
+    elif arch == "srgan":
+        gen = Generator.srgan_generator(
+            upsample_factor=SCALE, vgg_loss=False, batch_norm=False,
+            adversarial_loss_weight=1e-3, input_dims=lr_dims, **size)
+        disc = Discriminator.initialize_standard(
+            label_smoothing=True, smoothing_offset=0.2,
+            input_dims=(CROP, CROP),
+            **(dict(num_filters=8) if tiny else {}))
+        return SRModel(model_type="gan", generator=gen,
+                       generator_optimizer="Adam",
+                       generator_optimizer_config={"learning_rate": 1e-4},
+                       discriminator=disc, discriminator_optimizer="Adam",
+                       discriminator_optimizer_config={"learning_rate": 1e-4},
+                       resnet_checkpoint=resnet_checkpoint,
+                       config=_cfg(tmp, 10**6))
+    else:
+        raise ValueError(arch)
+    return SRModel(model_type="resnet", generator=gen,
+                   generator_optimizer="Adam",
+                   generator_optimizer_config={"learning_rate": schedule},
+                   config=_cfg(tmp, patience))
+
+
+def main(fast=False, tiny=False):
+    os.makedirs(os.path.join(OUT_DIR, "models"), exist_ok=True)
+    max_epochs = 3 if fast else 120
+    patience = 10**6 if fast else 8
+    gan_epochs = 2 if fast else 25
+
+    print("staging dataset on device...", flush=True)
+    train, val = stage_dataset(crops_per_mpix=12 if fast else 96,
+                               val_crops_per_img=16 if fast else 32)
+    steps_hint = (train[0].shape[0] // BATCH) * max_epochs
+    print(f"{train[0].shape[0]} train pairs, {val[0].shape[0]} val pairs, "
+          f"{train[0].shape[0] // BATCH} steps/epoch", flush=True)
+
+    results = {"scale": SCALE, "train_imgs": list(TRAIN_IMGS),
+               "heldout_imgs": list(HELDOUT_IMGS)}
+    ckpt_dirs = {}
+
+    import traceback
+    for arch in ("srresnet", "rrdb"):
+        tmp = tempfile.mkdtemp(prefix=f"campaign_{arch}_")
+        model = build_model(arch, tmp, patience, steps_hint, tiny=tiny)
+        print(f"=== training {arch} x{SCALE} ===", flush=True)
+        run_training(model, train, val, max_epochs, arch)
+        # save FIRST: a gallery/eval failure must not lose the trained model
+        saved = model.save_model(os.path.join(OUT_DIR, "models"),
+                                 postfix=f"{arch}_x{SCALE}_best")
+        ckpt_dirs[arch] = os.path.join(tmp, "ckpt", "resnet")
+        print(f"[{arch}] saved {saved}", flush=True)
+        try:
+            evaluate(model, arch, results)
+            render_galleries(model, arch)
+        except Exception:
+            traceback.print_exc()
+        with open(os.path.join(OUT_DIR, "RESULTS.json"), "w") as f:
+            json.dump(results, f, indent=2)
+
+    # two-stage: warm-start SRGAN from the pixel-pretrained SRResNet
+    tmp = tempfile.mkdtemp(prefix="campaign_srgan_")
+    model = build_model("srgan", tmp, patience, steps_hint,
+                        resnet_checkpoint=ckpt_dirs["srresnet"], tiny=tiny)
+    print(f"=== training srgan x{SCALE} (pretrain warm start) ===", flush=True)
+    run_training(model, train, val, gan_epochs, "srgan")
+    saved = model.save_model(os.path.join(OUT_DIR, "models"),
+                             postfix=f"srgan_x{SCALE}_final")
+    print(f"[srgan] saved {saved}", flush=True)
+    try:
+        evaluate(model, "srgan", results)
+        render_galleries(model, "srgan")
+    except Exception:
+        traceback.print_exc()
+
+    with open(os.path.join(OUT_DIR, "RESULTS.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    _write_markdown(results)
+    print("campaign complete", flush=True)
+
+
+def _write_markdown(results):
+    lines = [
+        "# Quality results (round 2 campaign)",
+        "",
+        f"x{SCALE} super-resolution trained to convergence (early-stopped) on "
+        "every real photo available in this zero-egress environment "
+        f"({', '.join(results['train_imgs'])}); held-out probes never seen "
+        f"during training or model selection: {', '.join(results['heldout_imgs'])}.",
+        "",
+        "Produced by `scripts/quality_campaign.py`; galleries under "
+        "`galleries/`, model files under `models/`. Metrics on [-1,1] "
+        "tensors, max_val=2.0 (reference convention).",
+        "",
+        "| model | image | | PSNR | PSNR-Y | SSIM |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label in results:
+        if label in ("scale", "train_imgs", "heldout_imgs"):
+            continue
+        for name, row in results[label].items():
+            tag = "held-out" if row["heldout"] else "train-member"
+            m, b = row["model"], row["bicubic"]
+            lines.append(f"| {label} | {name} ({tag}) | model | {m['psnr']} "
+                         f"| {m['psnr_y']} | {m['ssim']} |")
+            lines.append(f"| | | bicubic | {b['psnr']} | {b['psnr_y']} "
+                         f"| {b['ssim']} |")
+    with open(os.path.join(OUT_DIR, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main(fast="--fast" in sys.argv or "--tiny" in sys.argv,
+         tiny="--tiny" in sys.argv)

@@ -30,6 +30,11 @@ def denormalize_11(img):
     return (img + 1.0) * 127.5
 
 
+def to_11_from_01(img):
+    """[0, 1] → [-1, 1] (LR inputs compared against [-1,1] SR outputs)."""
+    return img * 2.0 - 1.0
+
+
 def to_01_from_11(img):
     """[-1, 1] → [0, 1] (used when comparing SR output against [0,1] refs)."""
     return (img + 1.0) * 0.5

@@ -37,6 +37,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from simplesr_tpu.core.ranges import normalize_01, normalize_11
+from simplesr_tpu.core.prng import KeySequence
 from simplesr_tpu.ops import augment as augment_ops
 from simplesr_tpu.ops.resize import resize as _resize
 from simplesr_tpu.ops.jpeg import jpeg_degrade
@@ -137,7 +139,11 @@ class DataPipeline:
         self.validationset_size = train_val_split
 
         self._rng = np.random.default_rng(random_seed)
-        self._key_counter = 0
+        # device-side randomness (augmentation choices, jpeg dither) draws
+        # from one deterministic key stream rooted at random_seed
+        self._keys = KeySequence(
+            random_seed if random_seed is not None
+            else int(np.random.default_rng().integers(2**31 - 1)))
         self._decode_cache = {}
         self._prep_cache = {}
         # Native C++ decode/crop server (threaded libpng/libjpeg + LRU cache;
@@ -223,9 +229,7 @@ class DataPipeline:
         return img.shape[0], img.shape[1]
 
     def _next_key(self):
-        self._key_counter += 1
-        seed = self._rng.integers(0, 2**31 - 1)
-        return jax.random.key(int(seed))
+        return self._keys.next()
 
     # ------------------------------------------------- host crop assembly
 
@@ -300,11 +304,11 @@ class DataPipeline:
                 hr = jax.vmap(_augment_one)(aug_ids, keys, hr_crops)
             else:
                 hr = hr_crops
-            lr = _resize(hr / 255.0, (lr_h, lr_w), method=method,
+            lr = _resize(normalize_01(hr), (lr_h, lr_w), method=method,
                          antialias=antialias)
             if jpg_noise:
                 lr = jpeg_degrade(lr, quality)
-            hr = hr / 127.5 - 1.0
+            hr = normalize_11(hr)
             return jnp.asarray(lr, jnp.float32), jnp.asarray(hr, jnp.float32)
 
         fn = jax.jit(prep)

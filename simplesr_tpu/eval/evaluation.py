@@ -24,9 +24,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from simplesr_tpu.core.ranges import to_11_from_01
 from simplesr_tpu.ops import metrics as metrics_lib
 from simplesr_tpu.ops.resize import resize as _resize
-from simplesr_tpu.ops.tiling import tiled_apply
+from simplesr_tpu.ops.tiling import tiled_apply, tiled_apply_many
 from simplesr_tpu.utils import logger as logger_mod
 from simplesr_tpu.eval import rendering
 
@@ -129,7 +130,7 @@ def evaluate_on_validationdata(config, model_name="", pipeline=None, model=None,
         result_pics = {ground_truth_key: hr_batch, low_res_key: lr_batch}
 
         # lr is [0,1]; bring to [-1,1] before interpolation for comparison
-        _lr11 = lr_batch * 2.0 - 1.0
+        _lr11 = to_11_from_01(lr_batch)
         h, w = _hw(lr_batch)
         interpolated = _resize(_lr11, (h * scale, w * scale),
                                method=pipeline.resize_filter)
@@ -215,13 +216,32 @@ def evaluate_on_testdata(config, model_name="", pipeline=None, model=None,
     pic_dir = getattr(config, "pic_dir", ".")
     batch_size = getattr(config, "batch_size", 1)
 
+    # Two passes: collect the batches first so the >1000x1000 images can be
+    # tiled TOGETHER per model (tiled_apply_many pools every image's patches
+    # into shared full chunks — one ragged chunk total instead of one per
+    # image; the reference loops patch-by-patch per image, :351-359).
+    batches = list(pipeline.test_batch_generator(batch_size))
+    tiled_idx = [i for i, (lr, _) in enumerate(batches)
+                 if _eligible_efficient_inference(jnp.asarray(lr))]
+    tiled_sr = {}
+    for name, predict in models.items():
+        if not tiled_idx:
+            break
+        imgs = [jnp.asarray(batches[i][0]) for i in tiled_idx]
+        imgs = [x[0] if x.ndim == 4 else x for x in imgs]
+        outs = tiled_apply_many(predict, imgs, (_TILE_PATCH, _TILE_PATCH),
+                                overlap=_TILE_OVERLAP, scale=scale, batch_size=8)
+        tiled_sr[name] = dict(zip(tiled_idx, outs))
+
     outputs = []
-    for idx, (lr_batch, file_paths) in enumerate(
-            pipeline.test_batch_generator(batch_size)):
+    for idx, (lr_batch, file_paths) in enumerate(batches):
         original_name = Path(str(file_paths[0])).parent.stem
         results = {}
         for name, predict in models.items():
-            sr_batch = _upscale(predict, lr_batch, scale)
+            if idx in tiled_sr.get(name, {}):
+                sr_batch = tiled_sr[name][idx][None]
+            else:
+                sr_batch = _upscale(predict, lr_batch, scale)
             results[name] = sr_batch
             if save_single:
                 rendering.save_single(

@@ -26,8 +26,10 @@ def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=1
     *uninitialized* flax module; parameter loading is handled by the
     checkpoint layer (train.checkpointing)."""
     import jax.numpy as jnp
+    from simplesr_tpu.core.dtypes import default_policy
 
-    dtype = jnp.dtype(dtype).type if isinstance(dtype, str) else (dtype or jnp.bfloat16)
+    dtype = jnp.dtype(dtype).type if isinstance(dtype, str) else \
+        (dtype or default_policy().compute_dtype)
     if callable(architecture):
         return architecture()
     if architecture == "rrdb":

@@ -10,6 +10,7 @@ from simplesr_tpu.ops.tiling import (
     reconstruct_from_patches,
     reconstruct_from_overlapping_patches,
     tiled_apply,
+    tiled_apply_many,
 )
 from simplesr_tpu.ops import augment
 
@@ -18,5 +19,6 @@ __all__ = [
     "random_crops", "batch_random_crops", "diverse_crops",
     "depth_to_space", "space_to_depth", "jpeg_degrade",
     "segment_into_patches", "reconstruct_from_patches",
-    "reconstruct_from_overlapping_patches", "tiled_apply", "augment",
+    "reconstruct_from_overlapping_patches", "tiled_apply",
+    "tiled_apply_many", "augment",
 ]

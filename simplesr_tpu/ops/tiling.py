@@ -132,13 +132,34 @@ def tiled_apply(fn, image, patch_size, overlap, scale, batch_size=16):
     s·(pw+2o), C). This is the one-call equivalent of the reference's eval
     path (operations/evaluation.py:256-276).
     """
-    h, w, _ = image.shape
+    return tiled_apply_many(fn, [image], patch_size, overlap, scale,
+                            batch_size=batch_size)[0]
+
+
+def tiled_apply_many(fn, images, patch_size, overlap, scale, batch_size=16):
+    """Tiled SR of SEVERAL large HWC images (sizes may differ — the patch
+    shape is static regardless), streaming ALL their patches through ``fn``
+    in shared fixed-size chunks.
+
+    The reference upscales patch-by-patch per image in a Python loop
+    (operations/evaluation.py:351-359); per-image chunking wastes up to
+    ``batch_size - 1`` padded patch slots *per image* on the ragged final
+    chunk. Pooling the patch streams leaves at most one partial chunk for
+    the whole set, so multi-image tiled eval keeps full MXU batches.
+
+    Returns the stitched outputs in input order.
+    """
     ph, pw = int(patch_size[0]), int(patch_size[1])
-    patches, padding = segment_into_patches(image, pw, ph, overlap)
+    metas, streams = [], []
+    for image in images:
+        patches, padding = segment_into_patches(image, pw, ph, overlap)
+        metas.append((image.shape, padding, patches.shape[0]))
+        streams.append(patches)
+    pooled = streams[0] if len(streams) == 1 else jnp.concatenate(streams)
     outs = []
-    n = patches.shape[0]
+    n = pooled.shape[0]
     for i in range(0, n, batch_size):
-        chunk = patches[i:i + batch_size]
+        chunk = pooled[i:i + batch_size]
         if chunk.shape[0] < batch_size:  # keep shapes static for jit reuse
             pad_n = batch_size - chunk.shape[0]
             chunk = jnp.concatenate([chunk, jnp.zeros((pad_n,) + chunk.shape[1:], chunk.dtype)])
@@ -147,7 +168,11 @@ def tiled_apply(fn, image, patch_size, overlap, scale, batch_size=16):
             outs.append(fn(chunk))
     sr_patches = jnp.concatenate(outs, axis=0)
     s = int(scale)
-    return reconstruct_from_overlapping_patches(
-        sr_patches, h * s, w * s, overlap * s,
-        (padding[0][1] - overlap) * s, (padding[1][1] - overlap) * s,
-    )
+    results, offset = [], 0
+    for (h, w, _), padding, count in metas:
+        results.append(reconstruct_from_overlapping_patches(
+            sr_patches[offset:offset + count], h * s, w * s, overlap * s,
+            (padding[0][1] - overlap) * s, (padding[1][1] - overlap) * s,
+        ))
+        offset += count
+    return results

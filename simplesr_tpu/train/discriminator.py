@@ -37,24 +37,31 @@ class Discriminator:
                  dtype: Any = None,
                  seed: int = 1):
         del initializer  # scaled-he is pinned in the architecture
-        import jax.numpy as _jnp
+        from simplesr_tpu.core.dtypes import default_policy
 
         self._module = DiscriminatorNet(
             num_filters=num_filters, alpha=alpha, kernel_size=kernel_size,
             momentum=momentum, relativistic=relativistic,
-            dtype=dtype or _jnp.bfloat16)
+            dtype=dtype or default_policy().compute_dtype)
         self._relativistic = relativistic
         self._label_smoothing = label_smoothing
         self._smoothing_offset = smoothing_offset if label_smoothing else 0.0
-        self._loss_function = loss_function
+        # one functor or a list (summed); the reference's from_yaml accepts a
+        # loss_functions list from YAML but its ctor can only hold one
+        # (discriminator.py:53,363-384) — here multi-loss actually works
+        self._loss_functions = list(loss_function) \
+            if isinstance(loss_function, (list, tuple)) else [loss_function]
         self._input_dims = tuple(d or 96 for d in input_dims)
 
         self._variables = self._module.init(
             jax.random.key(seed), jnp.zeros((1, *self._input_dims, 3)), train=False)
 
-        names = [loss_function.name, "discriminator_accuracy", "SR_accuracy", "HR_accuracy"]
-        if loss_function.weighted:
-            names.insert(1, f"weighted_{loss_function.name}")
+        names = []
+        for fn in self._loss_functions:
+            names.append(fn.name)
+            if fn.weighted:
+                names.append(f"weighted_{fn.name}")
+        names += ["discriminator_accuracy", "SR_accuracy", "HR_accuracy"]
         self._batch_metrics = MetricBundle(names)
         self._epoch_metrics_train = MetricBundle(names)
         self._epoch_metrics_valid = MetricBundle(names)
@@ -76,7 +83,9 @@ class Discriminator:
         return self._relativistic
 
     def loss_function(self):
-        return self._loss_function
+        if len(self._loss_functions) == 1:
+            return self._loss_functions[0]
+        return self._loss_functions
 
     def batch_metrics(self):
         return self._batch_metrics
@@ -126,28 +135,34 @@ class Discriminator:
         return sr_labels, hr_labels
 
     def calculate_loss(self, key, sr_critic, hr_critic):
-        """Pure: labels → loss functor → (loss, metrics incl. accuracies)."""
+        """Pure: labels → loss functor(s, summed) → (loss, metrics incl.
+        accuracies)."""
         sr_labels, hr_labels = self.get_labels(key, sr_critic, hr_critic)
-        loss, metrics = self._loss_function(sr_critic, hr_critic, sr_labels, hr_labels)
-        metrics = dict(metrics)
+        total = 0.0
+        metrics = {}
+        for fn in self._loss_functions:
+            loss, m = fn(sr_critic, hr_critic, sr_labels, hr_labels)
+            total = total + loss
+            metrics.update(m)
         metrics.update(self.accuracy_metrics(sr_critic, hr_critic))
-        return loss, metrics
+        return total, metrics
 
     def formatted_epoch_metrics(self, train=True):
         m = self.epoch_metrics(train).results()
-        name = self._loss_function.name
-        out = f"\t{name}: {m.get(name, float('nan')):.5f}\n"
+        loss_names = [fn.name for fn in self._loss_functions]
+        out = "".join(f"\t{n}: {m.get(n, float('nan')):.5f}\n" for n in loss_names)
         for k, v in m.items():
-            if k != name:
+            if k not in loss_names:
                 out += f"\t{k}: {v:.5f}\n"
         return out
 
     def __str__(self):
+        losses = "\n ".join(str(fn) for fn in self._loss_functions)
         return ("Discriminator\n"
                 f"relativistic: {self._relativistic}\n"
                 f"label smoothing: {self._label_smoothing}\n"
                 f"smoothing offset: {self._smoothing_offset}\n"
-                f"loss function:\n {self._loss_function}\n")
+                f"loss function:\n {losses}\n")
 
     # ------------------------------------------------------------ factories
 
@@ -186,6 +201,6 @@ class Discriminator:
             else config_yaml
         disc_conf = dict(conf["model"]["discriminator"])
         losses = yaml_helper.init_loss_functions_from_yaml(disc_conf)
-        disc_conf["loss_function"] = losses[0] if isinstance(losses, list) else losses
+        disc_conf["loss_function"] = losses  # list OK: functors are summed
         disc_conf.pop("loss_functions", None)
         return Discriminator(**disc_conf)

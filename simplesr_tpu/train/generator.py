@@ -62,8 +62,8 @@ class Generator:
         self._epoch_metrics_train = MetricBundle(names)
         self._epoch_metrics_valid = MetricBundle(names)
 
-        import jax.numpy as _jnp
-        self._dtype = dtype or _jnp.bfloat16
+        from simplesr_tpu.core.dtypes import default_policy
+        self._dtype = dtype or default_policy().compute_dtype
         self._num_blocks = num_blocks
         self._num_dense_blocks = num_dense_blocks
         self._num_filters = num_filters

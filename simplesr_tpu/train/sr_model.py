@@ -501,13 +501,20 @@ class SRModel:
             rng=jax.random.wrap_key_data(restored.rng))
 
     def _restore_resnet_checkpoint(self, checkpoint_dir):
-        """Warm-start generator params/opt-state/step from a pixel-pretrain
-        run's checkpoint directory (reference :158-167)."""
+        """Warm-start the generator from a pixel-pretrain run's checkpoint
+        directory (reference :158-167 takes the restored generator and its
+        optimizer wholesale). The optimizer state is carried over only when
+        this run's optimizer has the same structure; otherwise — e.g. the
+        pretrain used an LR schedule and the GAN stage doesn't — params,
+        batch stats, step and best metric restore and the new optimizer
+        starts fresh (the correct thing: a foreign opt state is meaningless
+        to a different optimizer)."""
         import orbax.checkpoint as ocp
         mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
         step = mgr.latest_step()
         if step is None:
             raise ValueError(f"no checkpoint found in {checkpoint_dir}")
+
         # Template mirrors a pixel-pretrain (resnet-mode) state: empty
         # discriminator slots, raw PRNG key data.
         template = jax.device_get(jax.tree_util.tree_map(np.asarray, {
@@ -521,13 +528,25 @@ class SRModel:
             "d_opt_state": (),
             "rng": jax.random.key_data(self._state.rng),
         }))
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+            opt_state = restored["g_opt_state"]
+        except ValueError:
+            import logging
+            logging.getLogger("simple_sr").warning(
+                "resnet checkpoint optimizer state does not match this "
+                "run's optimizer; warm-starting params only")
+            # template-free restore yields the raw saved tree (nested dicts
+            # of arrays) — exactly what g_params/g_batch_stats are; the
+            # foreign opt state is discarded
+            restored = mgr.restore(step, args=ocp.args.StandardRestore())
+            opt_state = self._state.g_opt_state
         self._state = self._state.replace(
             step=jnp.asarray(restored["step"]),
             best_metric=jnp.asarray(restored["best_metric"]),
             g_params=restored["g_params"],
             g_batch_stats=restored["g_batch_stats"],
-            g_opt_state=restored["g_opt_state"])
+            g_opt_state=opt_state)
         mgr.close()
 
     def latest_checkpoint(self):

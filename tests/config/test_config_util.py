@@ -164,3 +164,33 @@ def test_experiment_sweep_isolation(tmp_path):
     exp.add_result({"loss": [1.0]}, {}, {"loss": [1.0]}, {})
     exp.serialize_last_result(str(tmp_path / "res"))
     assert list((tmp_path / "res").glob("*.json"))
+
+
+def test_discriminator_from_yaml_multi_loss():
+    """Two discriminator losses hydrate and SUM (the reference's from_yaml
+    builds a loss_functions list its ctor can't hold, discriminator.py:53,
+    363-384 — here multi-loss is supported for real)."""
+    import jax
+    from simplesr_tpu.train import Discriminator
+
+    conf = {"model": {"discriminator": {
+        "relativistic": False,
+        "num_filters": 8,
+        "input_dims": (32, 32),
+        "dtype": jnp.float32,
+        "loss_functions": [
+            {"loss_function": "DiscriminatorLoss"},
+            {"loss_function": "DiscriminatorLoss",
+             "weighted": True, "loss_weight": 0.5},
+        ],
+    }}}
+    disc = Discriminator.from_yaml(conf)
+    fns = disc.loss_function()
+    assert isinstance(fns, list) and len(fns) == 2
+    sr_c = jnp.asarray([[0.3], [0.7]])
+    hr_c = jnp.asarray([[0.8], [0.9]])
+    total, metrics = disc.calculate_loss(jax.random.key(0), sr_c, hr_c)
+    single, _ = fns[0](sr_c, hr_c, jnp.zeros_like(sr_c), jnp.ones_like(hr_c))
+    # unweighted + 0.5-weighted copy of the same loss = 1.5x the single loss
+    np.testing.assert_allclose(float(total), 1.5 * float(single), rtol=1e-6)
+    assert "discriminator_accuracy" in metrics

@@ -113,3 +113,49 @@ def test_deterministic_split_with_seed():
     a = _pipeline(random_seed=11)
     b = _pipeline(random_seed=11)
     assert a.train_imgs == b.train_imgs and a.val_imgs == b.val_imgs
+
+
+def test_hetero_whole_image_training(tmp_path):
+    """crop=False with mixed image sizes: the pipeline falls back to
+    per-image batches (reference trains on whole images when
+    crop_imgs: false, data_pipeline.py:190) and they must flow through a
+    real train_step end to end."""
+    from PIL import Image
+    from simplesr_tpu.train import Generator, SRModel
+
+    d = tmp_path / "imgs"; d.mkdir()
+    rng = np.random.default_rng(0)
+    for i, (h, w) in enumerate([(24, 32), (32, 24), (24, 32)]):
+        arr = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.png")
+
+    pipe = DataPipeline(hr_img_path=str(d), scale=2, train_val_split=0.0,
+                        batch_size=2, crop=False, random_seed=0)
+
+    class Cfg:
+        model_dir = str(tmp_path / "m"); checkpoint_dir = str(tmp_path / "c")
+        early_stop_metric = "psnr"; early_stop_patience = 10
+        epoch_train_summary_writer = None; batch_train_summary_writer = None
+        epoch_validation_summary_writer = None; batch_validation_summary_writer = None
+
+    gen = Generator.srresnet(upsample_factor=2, num_blocks=1, num_filters=8,
+                             batch_norm=False, dtype=jnp.float32,
+                             input_dims=(12, 16))
+    model = SRModel(model_type="resnet", generator=gen,
+                    generator_optimizer="Adam",
+                    generator_optimizer_config={"learning_rate": 1e-3},
+                    config=Cfg)
+    model.before_epoch()
+    shapes = set()
+    n_imgs = 0
+    for lr, hr in pipe.train_batch_generator():
+        # a size-mixed chunk falls back to per-image batches; same-shape
+        # images may still batch together — never mixed shapes in one batch
+        assert hr.shape[1] == lr.shape[1] * 2 and hr.shape[2] == lr.shape[2] * 2
+        shapes.add(tuple(lr.shape[1:3]))
+        model.train_step(lr, hr)
+        model.after_train_batch()
+        n_imgs += lr.shape[0]
+    assert n_imgs == 3 and shapes == {(12, 16), (16, 12)}
+    loss = model.generator_wrapper().epoch_metrics(train=True)["generator_loss"].result()
+    assert np.isfinite(loss)

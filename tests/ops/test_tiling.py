@@ -89,3 +89,42 @@ def test_tiled_apply_matches_direct():
     direct = np.asarray(fake_sr(jnp.asarray(img)[None]))[0]
     assert out.shape == (400, 600, 3)
     np.testing.assert_array_equal(np.asarray(out), direct)
+
+
+def test_tiled_apply_many_matches_per_image(rng):
+    """Pooling several (different-sized) images' patches through shared
+    chunks must produce exactly what per-image tiled_apply produces."""
+    from simplesr_tpu.ops import tiled_apply, tiled_apply_many
+
+    def fake_sr(batch):  # x2 "model": nearest-neighbor blowup
+        return jnp.repeat(jnp.repeat(batch, 2, axis=1), 2, axis=2)
+
+    imgs = [jnp.asarray(rng.uniform(size=s).astype(np.float32))
+            for s in [(200, 260, 3), (140, 180, 3), (260, 200, 3)]]
+    pooled = tiled_apply_many(fake_sr, imgs, (64, 64), overlap=16, scale=2,
+                              batch_size=8)
+    for img, out in zip(imgs, pooled):
+        single = tiled_apply(fake_sr, img, (64, 64), overlap=16, scale=2,
+                             batch_size=8)
+        assert out.shape == (img.shape[0] * 2, img.shape[1] * 2, 3)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+
+
+def test_tiled_apply_many_pools_chunks(rng):
+    """Cross-image pooling must leave at most ONE ragged chunk total (the
+    whole point: per-image chunking pads up to batch_size-1 slots per
+    image)."""
+    from simplesr_tpu.ops import tiled_apply_many
+
+    calls = []
+
+    def fake_sr(batch):
+        calls.append(batch.shape[0])
+        return jnp.repeat(jnp.repeat(batch, 2, axis=1), 2, axis=2)
+
+    # 3 images x 9 patches (3x3 grid each) = 27 patches; batch 8 -> 4 calls
+    imgs = [jnp.asarray(rng.uniform(size=(190, 190, 3)).astype(np.float32))
+            for _ in range(3)]
+    tiled_apply_many(fake_sr, imgs, (64, 64), overlap=16, scale=2, batch_size=8)
+    assert len(calls) == 4  # per-image chunking would need 6 (2 per image)
+    assert all(c == 8 for c in calls)

@@ -224,3 +224,37 @@ def test_best_metric_tracks_running_best(rng, tmp_path):
         assert float(model.state.best_metric) == max(
             history[:history.index(value) + 1])
     assert float(model.state.best_metric) == 30.0
+
+
+def test_warm_start_with_mismatched_optimizer(rng, tmp_path):
+    """resnet_checkpoint warm start must survive the pretrain run having a
+    DIFFERENT optimizer config (e.g. LR schedule) than the GAN stage: params
+    restore, the new optimizer starts fresh."""
+    from simplesr_tpu.train.optimizers import piecewise_constant_decay
+
+    cfg = _cfg(tmp_path)
+    pre = SRModel(model_type="resnet", generator=_tiny_generator(batch_norm=False),
+                  generator_optimizer="Adam",
+                  generator_optimizer_config={
+                      "learning_rate": piecewise_constant_decay([5], [1e-3, 1e-4])},
+                  config=cfg)
+    lr, hr = _batch(rng)
+    pre.before_epoch()
+    pre.train_step(lr, hr)
+    pre.after_train_batch()
+    pre._valid_epoch_metrics.ensure("psnr")(jnp.asarray(20.0))
+    pre.after_epoch()  # saves checkpoint
+
+    import os
+    ckpt = os.path.join(cfg.checkpoint_dir, "resnet")
+    warm = SRModel(model_type="resnet", generator=_tiny_generator(batch_norm=False),
+                   generator_optimizer="Adam",
+                   generator_optimizer_config={"learning_rate": 1e-4},
+                   resnet_checkpoint=ckpt, config=_cfg(tmp_path / "warm"))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(pre.state.g_params)),
+                    jax.tree_util.tree_leaves(jax.device_get(warm.state.g_params))):
+        np.testing.assert_array_equal(a, b)
+    assert float(warm.state.best_metric) == 20.0
+    # and training proceeds from the fresh optimizer without error
+    warm.before_epoch()
+    warm.train_step(lr, hr)
