@@ -270,8 +270,13 @@ class DataPipeline:
         pick = order[:n]
         means = cands.reshape(k, -1).mean(axis=1)
         if np.std(means[pick]) < self.minimum_variation_batch:
-            spread = np.abs(means - means.mean()) + np.where(stds > self.minimum_variation_patch, 1e6, 0)
-            pick = list(np.argsort(-spread)[:n])
+            # both-tails re-rank (see ops/crop.py diverse_crops): lowest and
+            # highest passing means maximize the selection's mean spread
+            rank_key = np.where(stds > self.minimum_variation_patch,
+                                means, np.median(means))
+            by_mean = np.argsort(rank_key)
+            n_lo = n - n // 2
+            pick = list(by_mean[:n_lo]) + list(by_mean[k - n // 2:])
         return [cands[i] for i in pick]
 
     # ------------------------------------------------- device batch prep

@@ -77,8 +77,16 @@ def diverse_crops(key, img, num_crops, patch_size, min_variation_patch,
 
     means = jnp.mean(cands.reshape(k, -1), axis=1)
     batch_var = jnp.std(means[first_pick])
-    # Diversity re-rank (used only if the first pick is too uniform).
-    spread = jnp.abs(means - jnp.mean(means))
-    diverse_pick = jnp.argsort(-(spread + jnp.where(passes, 1e6, 0.0)))[:num_crops]
+    # Diversity re-rank (used only if the first pick is too uniform): take
+    # the passing candidates with the LOWEST and HIGHEST patch means — both
+    # tails, which maximizes the std of the selected means. (Maximizing
+    # |mean − center| instead can select one tight cluster from a single
+    # tail and *fail* the diversity bar — caught by the numeric comparison
+    # against the reference's retry loop, tests/ops/test_crop_divers_parity.py.)
+    # Rejects rank as if they sat at the median so both tails avoid them.
+    rank_key = jnp.where(passes, means, jnp.median(means))
+    by_mean = jnp.argsort(rank_key)
+    n_lo = num_crops - num_crops // 2
+    diverse_pick = jnp.concatenate([by_mean[:n_lo], by_mean[k - num_crops // 2:]])
     pick = jnp.where(batch_var >= min_variation_batch, first_pick, diverse_pick)
     return cands[pick]
