@@ -37,13 +37,15 @@ SCALE = 4
 CHAIN = 25
 
 
-def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN):
+def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
+                             num_filters=64):
     import jax
     import jax.numpy as jnp
     from jax import lax
     from simplesr_tpu.models import SRResNet
 
-    model = SRResNet(upsample_factor=scale, num_res_blocks=16, num_filters=64)
+    model = SRResNet(upsample_factor=scale, num_res_blocks=16,
+                     num_filters=num_filters)
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.uniform(0, 1, (batch, lr_hw, lr_hw, 3)), jnp.float32)
     variables = model.init(jax.random.key(0), lr[:1])
@@ -126,7 +128,21 @@ def main(argv=None):
             "vs_baseline": None,
         }))
         return
-    mpix_per_s = measure_inference_mpix_s()
+    num_filters = 64
+    if "--filters" in argv:
+        # docs/performance.md roofline: C=64 half-fills the 128-lane MXU;
+        # --filters 128 measures the lane-filling model variant
+        num_filters = int(argv[argv.index("--filters") + 1])
+    mpix_per_s = measure_inference_mpix_s(num_filters=num_filters)
+    if num_filters != 64:
+        print(json.dumps({
+            "metric": f"srresnet_x4_f{num_filters}_inference_output_mpix_per_s",
+            "value": round(mpix_per_s, 2),
+            "unit": "MPix/s/chip",
+            "vs_baseline": None,
+            "note": "model-variant measurement (not the parity architecture)",
+        }))
+        return
     print(json.dumps({
         "metric": "srresnet_x4_inference_output_mpix_per_s",
         "value": round(mpix_per_s, 2),

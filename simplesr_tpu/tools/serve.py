@@ -1,0 +1,294 @@
+"""Batched SR serving daemon.
+
+The production face of the eval machinery (no reference counterpart — its
+inference surface is the one-shot evaluation script, operations/
+evaluation.py:214): a long-lived process that keeps the model warm on the
+chip and serves upscale requests over a Unix (or TCP) socket.
+
+Design, TPU-first:
+  * requests are grouped BY SHAPE and batched up to ``max_batch`` (static
+    shapes → every (batch, H, W) bucket compiles once and stays in the jit
+    cache; identical-shape requests ride one MXU dispatch);
+  * a collector thread assembles batches with a ``max_wait_ms`` deadline —
+    latency is bounded, throughput comes from batching;
+  * same-shape batching keeps served outputs bit-identical to the one-shot
+    ``tools.upscale`` path (no bucket padding, so no border drift);
+  * images larger than the tile threshold stream through the overlap-tiled
+    path (ops.tiled_apply), same as offline eval.
+
+Protocol (length-prefixed, one request per connection):
+  client → server: uint64 big-endian length + PNG/JPEG bytes
+  server → client: uint64 big-endian length + PNG bytes (SR image)
+
+Run:    python -m simplesr_tpu.tools.serve --model m.msgpack --scale 4 \
+            --socket /tmp/sr.sock
+Client: python -m simplesr_tpu.tools.serve --client /tmp/sr.sock \
+            in.png --output out/
+"""
+
+import argparse
+import io
+import os
+import queue
+import socket
+import socketserver
+import struct
+import threading
+import time
+
+import numpy as np
+
+_LEN = struct.Struct(">Q")
+
+
+# --------------------------------------------------------------- wire I/O
+
+def _read_exact(sock, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf += chunk
+    return buf
+
+
+def _recv_blob(sock):
+    (n,) = _LEN.unpack(_read_exact(sock, _LEN.size))
+    return _read_exact(sock, n)
+
+
+def _send_blob(sock, data):
+    sock.sendall(_LEN.pack(len(data)) + data)
+
+
+# ----------------------------------------------------------------- engine
+
+class _Request:
+    __slots__ = ("img", "event", "result", "error")
+
+    def __init__(self, img):
+        self.img = img          # float32 HWC in [0, 1]
+        self.event = threading.Event()
+        self.result = None      # float32 HWC in [-1, 1]
+        self.error = None
+
+
+class SREngine:
+    """Shape-bucketed batching executor around one warm model."""
+
+    def __init__(self, model_path, scale, max_batch=8, max_wait_ms=5,
+                 tile_threshold=1000):
+        from simplesr_tpu.eval.evaluation import _as_predictor
+
+        self._predict = _as_predictor(model_path)
+        self.scale = int(scale)
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.tile_threshold = tile_threshold
+        self._queue = queue.SimpleQueue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -------------------------------------------------------------- public
+
+    def upscale(self, img_01, timeout=120.0):
+        """Blocking: float32 HWC [0,1] → float32 HWC [-1,1] SR."""
+        req = _Request(np.asarray(img_01, np.float32))
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("SR request timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def warmup(self, shapes=((64, 64), (128, 128))):
+        """Pre-compile the common buckets so first requests aren't slow."""
+        for h, w in shapes:
+            self.upscale(np.zeros((h, w, 3), np.float32))
+
+    def close(self):
+        self._stop.set()
+        self._queue.put(None)
+        self._worker.join(timeout=10)
+
+    # -------------------------------------------------------------- worker
+
+    def _collect(self):
+        """One batch of same-shape requests (deadline-bounded)."""
+        first = self._queue.get()
+        if first is None:
+            return None, []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        stragglers = []
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                break
+            if req.img.shape == first.img.shape:
+                batch.append(req)
+            else:
+                stragglers.append(req)  # different bucket: next round
+        return batch, stragglers
+
+    def _run(self):
+        import jax.numpy as jnp
+        from simplesr_tpu.eval.evaluation import _upscale
+
+        while not self._stop.is_set():
+            batch, stragglers = self._collect()
+            for req in stragglers:
+                self._queue.put(req)
+            if not batch:
+                continue
+            try:
+                h, w = batch[0].img.shape[:2]
+                if min(h, w) > self.tile_threshold:
+                    # tiled path is per-image; keep requests independent
+                    outs = [np.asarray(_upscale(
+                        self._predict, jnp.asarray(r.img)[None],
+                        self.scale)[0]) for r in batch]
+                else:
+                    stacked = jnp.asarray(np.stack([r.img for r in batch]))
+                    outs = np.asarray(self._predict(stacked))
+                for req, out in zip(batch, outs):
+                    req.result = np.asarray(out)
+            except Exception as e:  # report to the callers, keep serving
+                for req in batch:
+                    req.error = e
+            finally:
+                for req in batch:
+                    req.event.set()
+
+
+# ----------------------------------------------------------------- server
+
+def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
+          max_wait_ms=5, ready_event=None, stop_event=None):
+    """Run the daemon until stop_event (or forever)."""
+    from PIL import Image
+
+    engine = SREngine(model_path, scale, max_batch=max_batch,
+                      max_wait_ms=max_wait_ms)
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            try:
+                blob = _recv_blob(self.request)
+                img = np.asarray(
+                    Image.open(io.BytesIO(blob)).convert("RGB"),
+                    np.float32) / 255.0
+                sr = engine.upscale(img)
+                arr = np.clip((sr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                out = io.BytesIO()
+                Image.fromarray(arr).save(out, format="PNG")
+                _send_blob(self.request, out.getvalue())
+            except Exception:
+                try:
+                    _send_blob(self.request, b"")  # empty blob = error
+                except OSError:
+                    pass
+
+    class ThreadingUnixServer(socketserver.ThreadingMixIn,
+                              socketserver.UnixStreamServer):
+        daemon_threads = True
+
+    class ThreadingTCPServer(socketserver.ThreadingMixIn,
+                             socketserver.TCPServer):
+        daemon_threads = True
+        allow_reuse_address = True
+
+    if socket_path:
+        if os.path.exists(socket_path):
+            os.unlink(socket_path)
+        server = ThreadingUnixServer(socket_path, Handler)
+    else:
+        server = ThreadingTCPServer(("127.0.0.1", tcp_port or 0), Handler)
+
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        if stop_event is None:
+            server.serve_forever()
+        else:
+            thread = threading.Thread(target=server.serve_forever, daemon=True)
+            thread.start()
+            stop_event.wait()
+    finally:
+        server.shutdown()
+        server.server_close()
+        engine.close()
+        if socket_path and os.path.exists(socket_path):
+            os.unlink(socket_path)
+    return server
+
+
+def request_upscale(address, image_path):
+    """Client helper: send one image file, return decoded SR numpy uint8."""
+    from PIL import Image
+
+    if isinstance(address, tuple):
+        sock = socket.create_connection(address)
+    else:
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        sock.connect(address)
+    try:
+        with open(image_path, "rb") as f:
+            _send_blob(sock, f.read())
+        blob = _recv_blob(sock)
+    finally:
+        sock.close()
+    if not blob:
+        raise RuntimeError("server reported an error for this image")
+    return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", help="saved model (.msgpack) [server mode]")
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--socket", help="Unix socket path")
+    p.add_argument("--port", type=int, help="TCP port (instead of --socket)")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=5)
+    p.add_argument("--client", metavar="ADDR",
+                   help="client mode: socket path (or host:port)")
+    p.add_argument("--output", default=".", help="[client] output directory")
+    p.add_argument("inputs", nargs="*", help="[client] image files")
+    args = p.parse_args(argv)
+
+    if args.client:
+        from PIL import Image
+        addr = args.client
+        if ":" in addr and not os.path.exists(addr):
+            host, port = addr.rsplit(":", 1)
+            addr = (host, int(port))
+        os.makedirs(args.output, exist_ok=True)
+        for path in args.inputs:
+            arr = request_upscale(addr, path)
+            out = os.path.join(args.output, os.path.splitext(
+                os.path.basename(path))[0] + "_sr.png")
+            Image.fromarray(arr).save(out)
+            print(f"{path} -> {out} {arr.shape[1]}x{arr.shape[0]}")
+        return 0
+
+    if not args.model or not (args.socket or args.port):
+        p.error("server mode needs --model and --socket/--port")
+    print(f"serving {args.model} x{args.scale} on "
+          f"{args.socket or f'127.0.0.1:{args.port}'}", flush=True)
+    serve(args.model, args.scale, socket_path=args.socket,
+          tcp_port=args.port, max_batch=args.max_batch,
+          max_wait_ms=args.max_wait_ms)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""Serving daemon: shape-bucketed batching correctness + the socket
+round-trip. Engine outputs must be bit-identical to the one-shot path
+(same-shape batching, no bucket padding)."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from simplesr_tpu.train import Generator
+from simplesr_tpu.train.serialization import save_model
+
+
+@pytest.fixture(scope="module")
+def model_file(tmp_path_factory):
+    gen = Generator.srresnet(upsample_factor=2, num_blocks=1, num_filters=8,
+                             batch_norm=False, dtype=jnp.float32,
+                             input_dims=(16, 16))
+    path = str(tmp_path_factory.mktemp("serve") / "gen.msgpack")
+    save_model(gen.module_config(), gen.variables, path)
+    return path
+
+
+def test_engine_batches_same_shape_and_matches_direct(model_file, rng):
+    from simplesr_tpu.tools.serve import SREngine
+    from simplesr_tpu.eval.evaluation import _as_predictor
+
+    engine = SREngine(model_file, scale=2, max_batch=4, max_wait_ms=30)
+    calls = []
+    inner = engine._predict
+    engine._predict = lambda x: (calls.append(x.shape), inner(x))[1]
+
+    imgs_a = [rng.uniform(0, 1, (16, 16, 3)).astype(np.float32) for _ in range(3)]
+    img_b = rng.uniform(0, 1, (24, 16, 3)).astype(np.float32)
+
+    results = [None] * 4
+    def run(i, img):
+        results[i] = engine.upscale(img)
+    threads = [threading.Thread(target=run, args=(i, img))
+               for i, img in enumerate(imgs_a + [img_b])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    engine.close()
+
+    direct = _as_predictor(model_file)
+    for img, out in zip(imgs_a + [img_b], results):
+        expect = np.asarray(direct(jnp.asarray(img)[None])[0])
+        np.testing.assert_array_equal(np.asarray(out), expect)
+    # the three same-shape requests must NOT have run as 3 single-image
+    # dispatches (the deadline lets them coalesce)
+    b16 = [s for s in calls if s[1] == 16 and s[2] == 16]
+    assert sum(s[0] for s in b16) == 3 and len(b16) <= 2
+
+
+def test_socket_roundtrip(model_file, rng, tmp_path):
+    from PIL import Image
+    from simplesr_tpu.tools import serve as serve_mod
+
+    img_path = str(tmp_path / "in.png")
+    arr = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(img_path)
+
+    sock_path = str(tmp_path / "sr.sock")
+    ready, stop = threading.Event(), threading.Event()
+    server = threading.Thread(
+        target=serve_mod.serve,
+        kwargs=dict(model_path=model_file, scale=2, socket_path=sock_path,
+                    ready_event=ready, stop_event=stop, max_wait_ms=1),
+        daemon=True)
+    server.start()
+    assert ready.wait(timeout=120)
+    try:
+        out = serve_mod.request_upscale(sock_path, img_path)
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+        # parity with the offline tools.upscale quantization
+        from simplesr_tpu.eval.evaluation import _as_predictor
+        sr = np.asarray(_as_predictor(model_file)(
+            jnp.asarray(arr[None], jnp.float32) / 255.0)[0])
+        expect = np.clip((sr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, expect)
+    finally:
+        stop.set()
+        server.join(timeout=30)
+    assert not os.path.exists(sock_path)  # daemon cleaned up
