@@ -25,13 +25,18 @@ import pytest
 
 from simplesr_tpu.ops.crop import diverse_crops
 
-sys.path.insert(0, "/root/reference")
-
 
 @pytest.fixture(scope="module")
 def ref_transforms():
     tf = pytest.importorskip("tensorflow")
-    from simple_sr.utils.image import image_transforms
+    # Appended (not prepended) and removed after import: the reference tree
+    # has its own `examples/` package that would otherwise shadow ours for
+    # every test collected after this module.
+    sys.path.append("/root/reference")
+    try:
+        from simple_sr.utils.image import image_transforms
+    finally:
+        sys.path.remove("/root/reference")
     return image_transforms
 
 
