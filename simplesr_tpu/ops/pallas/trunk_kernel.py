@@ -22,7 +22,15 @@ Semantics: a bn-free SRResNet residual trunk — per block
 (reference model_builder.py:99-134,309-319 with batch_norm=False), matching
 `models/srresnet.py` ResBlock. Verified against the flax trunk in
 tests/ops/test_trunk_kernel.py (interpreter mode) and driven on hardware by
-scripts/bench_trunk_kernel.py; measured numbers live in docs/performance.md.
+scripts/bench_trunk_kernel.py.
+
+MEASURED RESULT (v5e, batch 16 × 128² × 64, 16 blocks): 46.1 TFLOP/s at
+band=32 — faster than XLA with f32 activation storage (42.0) but ~12 %
+SLOWER than the production path (XLA with end-to-end bf16 activations,
+52.7): the saved HBM traffic is outweighed by operand-assembly VPU work
+and register spills of the f32 accumulator. Kept as a tested library op
+and the record of that negative result; NOT wired into inference. Full
+numbers: docs/performance.md §roofline.
 """
 
 import functools
@@ -172,6 +180,10 @@ def _run(x, w, b1, b2, alpha, num_blocks, band, interpret):
             flops=flops,
             bytes_accessed=2 * b * h * width * c * 2 + w.size * 2,
             transcendentals=0),
+        # f32 in/out blocks + two padded bf16 scratches + weights overflow
+        # the 16 MB default scoped-vmem limit at 128×128; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, w, b1, b2, alpha)
 
