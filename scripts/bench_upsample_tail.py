@@ -1,0 +1,141 @@
+"""Dissect the SRResNet ×4 inference tail (subpixel upsample + output conv).
+
+docs/performance.md's component split puts the tail at ~12 ms of the 27.5 ms
+batch-16 forward (~43 %) while carrying only ~100 GFLOP (vs 1.2 TFLOP in the
+trunk) — i.e. it runs an order of magnitude below trunk efficiency. This
+script measures each tail stage in isolation on the real chip to find where
+the time goes (conv MXU shape? depth_to_space relayout? PReLU fusion?) and
+evaluates candidate XLA-level rewrites.
+
+Run: python scripts/bench_upsample_tail.py [batch] [hw] [chain]
+Prints one JSON line per variant.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from simplesr_tpu.ops.shuffle import depth_to_space
+
+C = 64
+
+
+def _measure(fn, x, label, chain, flops=None, out_reduce=True):
+    @jax.jit
+    def chain_fn(t, n):
+        def body(_, carry):
+            out = fn(t)
+            # consume the output without growing shapes
+            return carry + jnp.sum(out.astype(jnp.float32)) * 1e-9
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(chain_fn(x, 1))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain_fn(x, chain))
+        best = min(best, (time.perf_counter() - t0) / chain)
+    rec = {"stage": label, "ms": round(best * 1e3, 3)}
+    if flops:
+        rec["tflops_per_s"] = round(flops / best / 1e12, 1)
+    print(json.dumps(rec), flush=True)
+    return best
+
+
+def main(batch=16, hw=128, chain=20):
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    x = jnp.asarray(rng.normal(0, 0.5, (batch, hw, hw, C)), jnp.bfloat16)
+
+    def conv(x, cout, k=3):
+        w = jnp.asarray(rng.normal(0, 0.05, (k, k, x.shape[-1], cout)), jnp.bfloat16)
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16)
+
+    w1 = jnp.asarray(rng.normal(0, 0.05, (3, 3, C, 4 * C)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (3, 3, C, 4 * C)), jnp.bfloat16)
+    wout = jnp.asarray(rng.normal(0, 0.05, (9, 9, C, 3)), jnp.bfloat16)
+    a1 = jnp.asarray(rng.uniform(0.1, 0.3, (C,)), jnp.bfloat16)
+    a2 = jnp.asarray(rng.uniform(0.1, 0.3, (C,)), jnp.bfloat16)
+
+    def cv(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16)
+
+    def prelu(x, a):
+        return jnp.where(x >= 0, x, a * x)
+
+    f_conv1 = 2 * batch * hw * hw * 9 * C * 4 * C
+    f_conv2 = 2 * batch * (2 * hw) ** 2 * 9 * C * 4 * C
+    f_out = 2 * batch * (4 * hw) ** 2 * 81 * C * 3
+
+    # --- stage isolation
+    _measure(lambda t: cv(t, w1), x, "conv1_64to256@LR", chain, f_conv1)
+    _measure(lambda t: depth_to_space(cv(t, w1), 2), x, "conv1+d2s", chain, f_conv1)
+    _measure(lambda t: prelu(depth_to_space(cv(t, w1), 2), a1), x,
+             "conv1+d2s+prelu", chain, f_conv1)
+
+    y = prelu(depth_to_space(cv(x, w1), 2), a1)
+    y = jax.device_put(y)
+    _measure(lambda t: cv(t, w2), y, "conv2_64to256@2x", chain, f_conv2)
+    _measure(lambda t: prelu(depth_to_space(cv(t, w2), 2), a2), y,
+             "conv2+d2s+prelu", chain, f_conv2)
+
+    z = prelu(depth_to_space(cv(y, w2), 2), a2)
+    z = jax.device_put(z)
+    _measure(lambda t: cv(t, wout), z, "out_9x9_64to3@4x", chain, f_out)
+
+    # --- full tail, architecture order (the production lowering)
+    def tail(t):
+        t = prelu(depth_to_space(cv(t, w1), 2), a1)
+        t = prelu(depth_to_space(cv(t, w2), 2), a2)
+        return jnp.tanh(cv(t, wout).astype(jnp.float32))
+    _measure(tail, x, "full_tail_production", chain, f_conv1 + f_conv2 + f_out)
+
+    # --- rewrite A: PReLU before d2s (alpha repeated per phase; identical fn)
+    a1r = jnp.tile(a1, 4)
+    a2r = jnp.tile(a2, 4)
+
+    def tail_prelu_first(t):
+        t = depth_to_space(prelu(cv(t, w1), a1r), 2)
+        t = depth_to_space(prelu(cv(t, w2), a2r), 2)
+        return jnp.tanh(cv(t, wout).astype(jnp.float32))
+    _measure(tail_prelu_first, x, "tail_prelu_before_d2s", chain,
+             f_conv1 + f_conv2 + f_out)
+
+    # --- rewrite B: output conv in coarse space (one d2s at the very end).
+    # The 9x9 conv at 4x resolution becomes a 3x3 conv on the (C*16)-channel
+    # coarse tensor producing 3*16 phase channels: N=48 instead of 3, no
+    # 512^2 activations until the final relayout. FLOPs grow 1.78x but the
+    # MXU shape improves ~16x.
+    # (weights here are random — this measures lowering cost, not parity)
+    wout_c = jnp.asarray(rng.normal(0, 0.05, (3, 3, 16 * C, 48)), jnp.bfloat16)
+    f_out_c = 2 * batch * hw * hw * 9 * 16 * C * 48
+
+    def tail_coarse_out(t):
+        t = prelu(cv(t, w1), a1r)                    # (hw, hw, 256)
+        # conv2 must see the 2x-res tensor; keep it, then s2d back for the
+        # coarse output conv.
+        t = depth_to_space(t, 2)
+        t = prelu(cv(t, w2), a2r)                    # (2hw, 2hw, 256)
+        from simplesr_tpu.ops.shuffle import space_to_depth
+        t = space_to_depth(t, 2)                     # (hw, hw, 1024)
+        t = cv(t, wout_c)                            # (hw, hw, 48)
+        return jnp.tanh(depth_to_space(t, 4).astype(jnp.float32))
+    _measure(tail_coarse_out, x, "tail_coarse_output_conv", chain,
+             f_conv1 + f_conv2 + f_out_c)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
