@@ -38,17 +38,22 @@ CHAIN = 25
 
 
 def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
-                             num_filters=64):
+                             num_filters=64, polyphase=True):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from simplesr_tpu.models import SRResNet
+    from simplesr_tpu.models import SRResNet, polyphase_model
 
     model = SRResNet(upsample_factor=scale, num_res_blocks=16,
                      num_filters=num_filters)
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.uniform(0, 1, (batch, lr_hw, lr_hw, 3)), jnp.float32)
     variables = model.init(jax.random.key(0), lr[:1])
+    if polyphase:
+        # mathematically identical inference reparameterization (exactness
+        # pinned by tests/models/test_polyphase.py); tail convs run at LR
+        # with full MXU lanes instead of at 2x/4x with 64/3 channels
+        model, variables = polyphase_model(model, variables)
 
     @jax.jit
     def fwd_chain(variables, x, n):
@@ -133,7 +138,9 @@ def main(argv=None):
         # docs/performance.md roofline: C=64 half-fills the 128-lane MXU;
         # --filters 128 measures the lane-filling model variant
         num_filters = int(argv[argv.index("--filters") + 1])
-    mpix_per_s = measure_inference_mpix_s(num_filters=num_filters)
+    polyphase = "--no-poly" not in argv
+    mpix_per_s = measure_inference_mpix_s(num_filters=num_filters,
+                                          polyphase=polyphase)
     if num_filters != 64:
         print(json.dumps({
             "metric": f"srresnet_x4_f{num_filters}_inference_output_mpix_per_s",

@@ -28,14 +28,24 @@ from simplesr_tpu.ops.shuffle import depth_to_space
 C = 64
 
 
-def _measure(fn, x, label, chain, flops=None, out_reduce=True):
+def _measure(fn, x, label, chain, flops=None):
+    """Chained-iteration timing (bench.py methodology): each iteration's
+    input depends on the previous output, so XLA cannot hoist the body out
+    of the loop (a carry-only sum gets LICM'd and times dispatch overhead —
+    the first version of this script measured 215 TF/s, above chip peak)."""
+    probe = fn(x)
+    sy = probe.shape[1] // x.shape[1]
+    sx = probe.shape[2] // x.shape[2]
+    reps = -(-x.shape[3] // probe.shape[3])  # ceil
+
     @jax.jit
     def chain_fn(t, n):
-        def body(_, carry):
+        def body(_, t):
             out = fn(t)
-            # consume the output without growing shapes
-            return carry + jnp.sum(out.astype(jnp.float32)) * 1e-9
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            view = out[:, ::sy, ::sx, :]
+            view = jnp.tile(view, (1, 1, 1, reps))[..., : t.shape[3]]
+            return t * 0.999 + 1e-6 * view.astype(t.dtype)
+        return jnp.sum(lax.fori_loop(0, n, body, t).astype(jnp.float32))
 
     float(chain_fn(x, 1))  # compile + warm
     best = float("inf")
@@ -134,6 +144,30 @@ def main(batch=16, hw=128, chain=20):
         return jnp.tanh(depth_to_space(t, 4).astype(jnp.float32))
     _measure(tail_coarse_out, x, "tail_coarse_output_conv", chain,
              f_conv1 + f_conv2 + f_out_c)
+
+    # --- rewrite C: full polyphase — every conv at LR, ONE final d2s(4).
+    # conv2 (3x3 64->256 at 2x) becomes a dense coarse 3x3 256->1024 at LR:
+    # 4x the FLOPs (the dense coarse kernel is structurally 2/3 zeros per
+    # phase) but full-lane MXU shapes and zero intermediate relayouts.
+    w2c = jnp.asarray(rng.normal(0, 0.05, (3, 3, 4 * C, 16 * C)), jnp.bfloat16)
+    woutc2 = jnp.asarray(rng.normal(0, 0.05, (3, 3, 16 * C, 48)), jnp.bfloat16)
+    a2c = jnp.tile(a2, 16)
+    f_conv2c = 2 * batch * hw * hw * 9 * 4 * C * 16 * C
+
+    def tail_full_polyphase(t):
+        t = prelu(cv(t, w1), a1r)                    # (hw, hw, 256)
+        t = prelu(cv(t, w2c), a2c)                   # (hw, hw, 1024)
+        t = cv(t, woutc2)                            # (hw, hw, 48)
+        return jnp.tanh(depth_to_space(t, 4).astype(jnp.float32))
+    _measure(tail_full_polyphase, x, "tail_full_polyphase", chain,
+             f_conv1 + f_conv2c + f_out_c)
+
+    # --- relayout isolation: what does depth_to_space itself cost?
+    big = jnp.asarray(rng.normal(0, 0.5, (batch, 2 * hw, 2 * hw, 4 * C)),
+                      jnp.bfloat16)
+    _measure(lambda t: depth_to_space(t, 2), big, "d2s_only_256ch@2x", chain)
+    small = jnp.asarray(rng.normal(0, 0.5, (batch, hw, hw, 48)), jnp.bfloat16)
+    _measure(lambda t: depth_to_space(t, 4), small, "d2s4_only_48ch@LR", chain)
 
 
 if __name__ == "__main__":

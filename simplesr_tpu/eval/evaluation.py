@@ -44,15 +44,18 @@ def _as_predictor(model):
     from simplesr_tpu.train.generator import Generator
     from simplesr_tpu.train import serialization
 
+    from simplesr_tpu.models.polyphase import fast_inference
+
     if isinstance(model, (str, os.PathLike)):
         module, variables = serialization.load_model(str(model))
+        module, variables = fast_inference(module, variables)
         return jax.jit(lambda x: module.apply(variables, x, train=False))
     if isinstance(model, SRModel):
         return model.generate
     if isinstance(model, Generator):
         return model.generate
     if isinstance(model, tuple) and len(model) == 2:
-        module, variables = model
+        module, variables = fast_inference(*model)
         return jax.jit(lambda x: module.apply(variables, x, train=False))
     if callable(model):
         return model

@@ -15,6 +15,11 @@ from simplesr_tpu.models.vgg import (
     init_vgg_params,
 )
 from simplesr_tpu.models.blocks import PReLU, ConvLayer, SubpixelConvBlock
+from simplesr_tpu.models.polyphase import (
+    SRResNetPolyphase,
+    polyphase_model,
+    polyphase_variables,
+)
 
 
 def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=16,
@@ -48,5 +53,6 @@ __all__ = [
     "SRResNet", "ResBlock", "RRDBNet", "RRDBBlock", "DenseBlock",
     "Discriminator", "VGGFeatures", "vgg_layer_names", "load_vgg_weights_npz",
     "init_vgg_params", "PReLU", "ConvLayer", "SubpixelConvBlock",
+    "SRResNetPolyphase", "polyphase_model", "polyphase_variables",
     "build_generator_model",
 ]

@@ -64,6 +64,12 @@ class SRResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        return self._tail(self._features(x, train), train)
+
+    def _features(self, x, train: bool):
+        """Head + residual trunk + global skip — shared with the polyphase
+        inference variant (models/polyphase.py), which must generate the
+        identical parameter tree for this part."""
         x = jnp.asarray(x, self.dtype)
         x = ConvLayer(self.num_filters, 9, dtype=self.dtype)(x, train)
         x = x_skip = PReLU()(x)
@@ -75,8 +81,9 @@ class SRResNet(nn.Module):
         x = ConvLayer(self.num_filters, 3, batch_norm=self.batch_norm,
                       momentum=self.momentum, dtype=self.dtype,
                       bn_axis_name=self.bn_axis_name)(x, train)
-        x = x + x_skip
+        return x + x_skip
 
+    def _tail(self, x, train: bool):
         scale = self.upsample_factor
         while scale > 1:
             x = SubpixelConvBlock(2, activation=True, dtype=self.dtype)(x)
