@@ -229,6 +229,29 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                        discriminator_optimizer_config={"learning_rate": 1e-4},
                        resnet_checkpoint=resnet_checkpoint,
                        config=_cfg(tmp, 10**6))
+    elif arch == "esrgan":
+        # ESRGAN recipe (1e-2 L1 + 5e-3 relativistic adversarial) minus the
+        # VGG term — no ImageNet weights exist in this environment, and a
+        # random-init VGG loss would be noise (see README "Weights note").
+        from simplesr_tpu.losses import MeanAbsoluteError, RaAdversarialLoss
+        gen = Generator(
+            upsample_factor=SCALE, architecture="rrdb",
+            loss_functions=[
+                MeanAbsoluteError(weighted=True, loss_weight=1e-2),
+                RaAdversarialLoss(weighted=True, loss_weight=5e-3),
+            ],
+            residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
+            **(size or dict(num_blocks=8)))
+        disc = Discriminator.initialize_relativistic(
+            input_dims=(CROP, CROP),
+            **(dict(num_filters=8) if tiny else {}))
+        return SRModel(model_type="gan", generator=gen,
+                       generator_optimizer="Adam",
+                       generator_optimizer_config={"learning_rate": 1e-4},
+                       discriminator=disc, discriminator_optimizer="Adam",
+                       discriminator_optimizer_config={"learning_rate": 1e-4},
+                       resnet_checkpoint=resnet_checkpoint,
+                       config=_cfg(tmp, 10**6))
     else:
         raise ValueError(arch)
     return SRModel(model_type="resnet", generator=gen,
@@ -273,23 +296,25 @@ def main(fast=False, tiny=False):
         with open(os.path.join(OUT_DIR, "RESULTS.json"), "w") as f:
             json.dump(results, f, indent=2)
 
-    # two-stage: warm-start SRGAN from the pixel-pretrained SRResNet
-    tmp = tempfile.mkdtemp(prefix="campaign_srgan_")
-    model = build_model("srgan", tmp, patience, steps_hint,
-                        resnet_checkpoint=ckpt_dirs["srresnet"], tiny=tiny)
-    print(f"=== training srgan x{SCALE} (pretrain warm start) ===", flush=True)
-    run_training(model, train, val, gan_epochs, "srgan")
-    saved = model.save_model(os.path.join(OUT_DIR, "models"),
-                             postfix=f"srgan_x{SCALE}_final")
-    print(f"[srgan] saved {saved}", flush=True)
-    try:
-        evaluate(model, "srgan", results)
-        render_galleries(model, "srgan")
-    except Exception:
-        traceback.print_exc()
+    # two-stage runs: warm-start each GAN from its pixel-pretrained parent
+    for arch, parent in (("srgan", "srresnet"), ("esrgan", "rrdb")):
+        tmp = tempfile.mkdtemp(prefix=f"campaign_{arch}_")
+        model = build_model(arch, tmp, patience, steps_hint,
+                            resnet_checkpoint=ckpt_dirs[parent], tiny=tiny)
+        print(f"=== training {arch} x{SCALE} (pretrain warm start) ===",
+              flush=True)
+        run_training(model, train, val, gan_epochs, arch)
+        saved = model.save_model(os.path.join(OUT_DIR, "models"),
+                                 postfix=f"{arch}_x{SCALE}_final")
+        print(f"[{arch}] saved {saved}", flush=True)
+        try:
+            evaluate(model, arch, results)
+            render_galleries(model, arch)
+        except Exception:
+            traceback.print_exc()
+        with open(os.path.join(OUT_DIR, "RESULTS.json"), "w") as f:
+            json.dump(results, f, indent=2)
 
-    with open(os.path.join(OUT_DIR, "RESULTS.json"), "w") as f:
-        json.dump(results, f, indent=2)
     _write_markdown(results)
     print("campaign complete", flush=True)
 
