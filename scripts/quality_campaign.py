@@ -230,14 +230,18 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                        resnet_checkpoint=resnet_checkpoint,
                        config=_cfg(tmp, 10**6))
     elif arch == "esrgan":
-        # ESRGAN recipe (1e-2 L1 + 5e-3 relativistic adversarial) minus the
-        # VGG term — no ImageNet weights exist in this environment, and a
-        # random-init VGG loss would be noise (see README "Weights note").
+        # ESRGAN-style RRDB+RaGAN stage. The paper weights (1e-2 L1 + 5e-3
+        # RaAdv + VGG@1) are degenerate without the VGG term (no ImageNet
+        # weights exist in this environment — README "Weights note"): the
+        # adversarial term out-weighs the pixel anchor 1:2 and the generator
+        # collapses to a constant within one epoch (measured). With the
+        # perceptual term gone the pixel anchor takes its place at weight
+        # 1.0, mirroring the stable SRGAN ratio.
         from simplesr_tpu.losses import MeanAbsoluteError, RaAdversarialLoss
         gen = Generator(
             upsample_factor=SCALE, architecture="rrdb",
             loss_functions=[
-                MeanAbsoluteError(weighted=True, loss_weight=1e-2),
+                MeanAbsoluteError(weighted=True, loss_weight=1.0),
                 RaAdversarialLoss(weighted=True, loss_weight=5e-3),
             ],
             residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
