@@ -74,6 +74,41 @@ def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
     return best
 
 
+def measure_rrdb_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE,
+                                  chain=10, mode="up"):
+    """RRDB/ESRGAN generator inference; mode: none|up|2phase|full
+    (models/polyphase.py RRDBNetPolyphase variants)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.models.polyphase import rrdb_polyphase_model
+
+    model = RRDBNet(upsample_factor=scale)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.uniform(0, 1, (batch, lr_hw, lr_hw, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), lr[:1])
+    if mode != "none":
+        model, variables = rrdb_polyphase_model(model, variables, mode=mode)
+
+    @jax.jit
+    def fwd_chain(variables, x, n):
+        def body(i, x):
+            out = model.apply(variables, x, train=False)
+            return x * 0.999 + 1e-6 * out[:, ::scale, ::scale, :]
+        return jnp.sum(lax.fori_loop(0, n, body, x))
+
+    float(fwd_chain(variables, lr, 1))
+    best = 0.0
+    for _ in range(3):
+        start = time.perf_counter()
+        float(fwd_chain(variables, lr, chain))
+        elapsed = time.perf_counter() - start
+        mpix = batch * (lr_hw * scale) ** 2 * chain / 1e6
+        best = max(best, mpix / elapsed)
+    return best
+
+
 def measure_train_ms_per_step(steps=30):
     """SRResNet ×4 fused train step, batch 16 × 96² crops (paper config)."""
     import tempfile
@@ -130,6 +165,17 @@ def main(argv=None):
             "metric": "srresnet_x4_train_ms_per_step_b16",
             "value": round(ms, 2),
             "unit": "ms/step",
+            "vs_baseline": None,
+        }))
+        return
+    if "--rrdb" in argv:
+        mode = argv[argv.index("--rrdb") + 1] if \
+            len(argv) > argv.index("--rrdb") + 1 else "up"
+        mpix = measure_rrdb_inference_mpix_s(mode=mode)
+        print(json.dumps({
+            "metric": f"rrdb_x4_inference_output_mpix_per_s_{mode}",
+            "value": round(mpix, 2),
+            "unit": "MPix/s/chip",
             "vs_baseline": None,
         }))
         return

@@ -162,6 +162,27 @@ def main(batch=16, hw=128, chain=20):
     _measure(tail_full_polyphase, x, "tail_full_polyphase", chain,
              f_conv1 + f_conv2c + f_out_c)
 
+    # --- rewrite D: full polyphase with PHASE-SPLIT coarse convs.
+    # The dense coarse kernels are 3/4 (up2) and 7/9 (out) structural
+    # zeros; splitting by output phase into per-phase convs with only the
+    # live taps removes the wasted FLOPs at the cost of more dispatches +
+    # a channel concat. (timing shape only — random weights)
+    w2s = [jnp.asarray(rng.normal(0, 0.05, (2, 2, 4 * C, 4 * C)), jnp.bfloat16)
+           for _ in range(4)]
+    wouts = [jnp.asarray(rng.normal(0, 0.05, (2, 2, 16 * C, 3)), jnp.bfloat16)
+             for _ in range(16)]
+    f_conv2_split = 4 * 2 * batch * hw * hw * 4 * 4 * C * 4 * C
+    f_out_split = 16 * 2 * batch * hw * hw * 4 * 16 * C * 3
+
+    def tail_phase_split(t):
+        t = prelu(cv(t, w1), a1r)                     # (hw, hw, 256)
+        t = jnp.concatenate([cv(t, wp) for wp in w2s], axis=-1)
+        t = prelu(t, jnp.tile(a2, 16))                # (hw, hw, 1024)
+        t = jnp.concatenate([cv(t, wp) for wp in wouts], axis=-1)
+        return jnp.tanh(depth_to_space(t, 4).astype(jnp.float32))
+    _measure(tail_phase_split, x, "tail_phase_split", chain,
+             f_conv1 + f_conv2_split + f_out_split)
+
     # --- relayout isolation: what does depth_to_space itself cost?
     big = jnp.asarray(rng.normal(0, 0.5, (batch, 2 * hw, 2 * hw, 4 * C)),
                       jnp.bfloat16)

@@ -85,6 +85,12 @@ class RRDBNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train  # no BatchNorm in RRDB — signature kept uniform
+        return self._tail(self._features(x))
+
+    def _features(self, x):
+        """Head + RRDB trunk + global scaled skip — shared with the
+        polyphase inference variant (models/polyphase.py), which must
+        generate the identical parameter tree for this part."""
         init = scaled_he_normal(0.2)
         x = jnp.asarray(x, self.dtype)
         x = x_skip = nn.Conv(self.num_filters, (3, 3), padding="SAME",
@@ -97,8 +103,10 @@ class RRDBNet(nn.Module):
                               self.residual_scaling, dtype=self.dtype)(trunk)
         trunk = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
                         padding="SAME", kernel_init=init, dtype=self.dtype)(trunk)
-        x = x_skip + trunk
+        return x_skip + trunk
 
+    def _tail(self, x):
+        init = scaled_he_normal(0.2)
         scale = self.upsample_factor
         while scale > 1:
             x = SubpixelConvBlock(2, activation=False, kernel_init=init,

@@ -32,6 +32,7 @@ __all__ = [
     "coarsen_conv_kernel",
     "coarse_kernel_taps",
     "phase_merge_permutation",
+    "phase_split_permutation",
     "tile_phase",
 ]
 
@@ -100,6 +101,21 @@ def phase_merge_permutation(s_in, upsample, channels):
                     direct = ((i * u + a) * big + (j * u + b)) * c
                     perm[direct:direct + c] = np.arange(nested, nested + c)
     return perm
+
+
+def phase_split_permutation(s_in, upsample, channels):
+    """Inverse of `phase_merge_permutation`: converts the *direct* DCR order
+    for depth_to_space(s_in * upsample) into the *nested* order (outer
+    s_in-phase groups of inner upsample-phase groups), so the outer level
+    can be materialized with one depth_to_space(s_in) while the inner level
+    stays in channel space.
+
+    Returns `perm` with  nested = direct[..., perm].
+    """
+    merge = phase_merge_permutation(s_in, upsample, channels)
+    inv = np.empty_like(merge)
+    inv[merge] = np.arange(merge.size)
+    return inv
 
 
 def tile_phase(vec, scale):

@@ -126,6 +126,45 @@ def test_polyphase_rejects_non_srresnet():
         polyphase_model(m, {})
 
 
+@pytest.mark.parametrize("scale,mode", [(2, "up"), (2, "full"), (4, "up"),
+                                        (4, "2phase"), (4, "full"),
+                                        (8, "2phase")])
+def test_rrdb_model_equivalence_f32(scale, mode):
+    from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.models.polyphase import rrdb_polyphase_model
+
+    model = RRDBNet(upsample_factor=scale, num_filters=8, num_rrdb_blocks=1,
+                    num_dense_blocks=1, num_convs=2, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(7).uniform(0, 1, (2, 6, 6, 3)),
+                    jnp.float32)
+    variables = _rand_variables(model.init(jax.random.key(8), x), seed=8)
+
+    ref = model.apply(variables, x, train=False)
+    poly, pvars = rrdb_polyphase_model(model, variables, mode=mode)
+    out = poly.apply(pvars, x, train=False)
+
+    assert out.shape == ref.shape == (2, 6 * scale, 6 * scale, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_rrdb_polyphase_param_tree_matches_module_init():
+    from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.models.polyphase import rrdb_polyphase_model
+
+    model = RRDBNet(upsample_factor=4, num_filters=8, num_rrdb_blocks=1,
+                    num_dense_blocks=1, num_convs=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 6, 6, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    for mode in ("up", "2phase", "full"):
+        poly, pvars = rrdb_polyphase_model(model, variables, mode=mode)
+        native = poly.init(jax.random.key(0), x)
+        native_shapes = jax.tree.map(lambda l: (l.shape, l.dtype), native)
+        conv_shapes = jax.tree.map(lambda l: (l.shape, l.dtype), pvars)
+        assert jax.tree.all(jax.tree.map(lambda a, b: a == b,
+                                         native_shapes, conv_shapes)), mode
+
+
 def test_as_predictor_serving_path_matches(tmp_path):
     """The serving/eval predictor silently reparameterizes saved SRResNets
     (evaluation._as_predictor -> fast_inference); output must match the
