@@ -25,6 +25,8 @@ Usage:
 or the one-call `polyphase_model(model, variables)`.
 """
 
+from typing import Any
+
 import numpy as np
 import jax.numpy as jnp
 import flax
@@ -49,7 +51,15 @@ class SRResNetPolyphase(SRResNet):
     Inference only (the reparameterized tail is not the training
     parameterization). Construct with the same hyperparameters as the
     trained SRResNet and load weights via `polyphase_variables`.
+
+    `out_dtype` controls the coarse output conv's compute dtype. float32
+    (default) matches the training-form module's final conv exactly;
+    bfloat16 computes it like the rest of the tail (MXU accumulates f32
+    internally) — outputs stay visually identical but no longer agree with
+    the training form to float precision.
     """
+
+    out_dtype: Any = jnp.float32
 
     def _tail(self, x, train: bool):
         c = self.num_filters
@@ -63,9 +73,9 @@ class SRResNetPolyphase(SRResNet):
             s *= 2
 
         x = nn.Conv(3 * s * s, (3, 3) if s > 2 else (5, 5), padding="SAME",
-                    dtype=jnp.float32, name="PolyOut")(
-            jnp.asarray(x, jnp.float32))
-        return jnp.tanh(depth_to_space(x, s))
+                    dtype=self.out_dtype, name="PolyOut")(
+            jnp.asarray(x, self.out_dtype))
+        return jnp.tanh(depth_to_space(x, s).astype(jnp.float32))
 
 
 def polyphase_variables(model: SRResNet, variables):
@@ -222,7 +232,7 @@ def fast_inference(module, variables):
     return module, variables
 
 
-def polyphase_model(model: SRResNet, variables):
+def polyphase_model(model: SRResNet, variables, out_dtype=jnp.float32):
     """One call: (SRResNetPolyphase, converted variables) for a trained
     SRResNet. Raises TypeError for other generators (RRDB has its own
     upsample structure; see models/rrdb.py)."""
@@ -230,5 +240,6 @@ def polyphase_model(model: SRResNet, variables):
         raise TypeError(f"polyphase tail supports SRResNet, got {type(model)}")
     fields = ("upsample_factor", "num_filters", "num_res_blocks", "momentum",
               "batch_norm", "dtype", "bn_axis_name")
-    poly = SRResNetPolyphase(**{f: getattr(model, f) for f in fields})
+    poly = SRResNetPolyphase(out_dtype=out_dtype,
+                             **{f: getattr(model, f) for f in fields})
     return poly, polyphase_variables(model, variables)

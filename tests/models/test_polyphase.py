@@ -119,6 +119,23 @@ def test_polyphase_param_tree_matches_module_init():
                                      native_shapes, conv_shapes))
 
 
+def test_out_dtype_bf16_close_and_f32_param_tree():
+    """out_dtype=bfloat16 computes the coarse output conv in bf16 (MXU f32
+    accumulation): outputs must stay within bf16 rounding of the f32 path
+    and the param tree must be unchanged (cast at apply, not in storage)."""
+    model = SRResNet(upsample_factor=4, num_filters=8, num_res_blocks=1,
+                     dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(9).uniform(0, 1, (1, 8, 8, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(9), x)
+    ref = model.apply(variables, x, train=False)
+    poly, pvars = polyphase_model(model, variables, out_dtype=jnp.bfloat16)
+    out = poly.apply(pvars, x, train=False)
+    assert out.dtype == jnp.float32
+    assert pvars["params"]["PolyOut"]["kernel"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
 def test_polyphase_rejects_non_srresnet():
     from simplesr_tpu.models import RRDBNet
     m = RRDBNet(upsample_factor=4, num_filters=8)
