@@ -1,0 +1,138 @@
+"""Measure the serving daemon (tools/serve.py) under concurrent load.
+
+Two numbers:
+  * engine-level: shape-bucketed batching executor throughput (model
+    dispatch + host<->device transfers, no image codecs) — the ceiling the
+    daemon's design aims for;
+  * socket-level: end-to-end requests/s through the Unix socket with N
+    concurrent clients sending PNGs (includes PNG decode/encode on server
+    threads — the realistic number).
+
+Run: python scripts/bench_serve.py [clients] [seconds]
+"""
+
+import io
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import numpy as np
+
+LR_HW = 128
+SCALE = 4
+
+
+def _make_model_file(tmpdir):
+    import jax
+    import jax.numpy as jnp
+    from simplesr_tpu.models import SRResNet
+    from simplesr_tpu.train import serialization
+
+    model = SRResNet(upsample_factor=SCALE, num_res_blocks=16, num_filters=64)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, LR_HW, LR_HW, 3), jnp.float32))
+    path = os.path.join(tmpdir, "gen.msgpack")
+    serialization.save_model(
+        {"upsample_factor": SCALE, "architecture": "srresnet",
+         "num_blocks": 16, "num_filters": 64}, variables, path)
+    return path
+
+
+def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
+    from simplesr_tpu.tools.serve import SREngine
+
+    engine = SREngine(model_path, SCALE, max_batch=max_batch, max_wait_ms=10)
+    img_f32 = np.random.default_rng(0).uniform(0, 1, (LR_HW, LR_HW, 3)) \
+        .astype(np.float32)
+    img_u8 = (img_f32 * 255).astype(np.uint8)
+    engine.warmup(shapes=((LR_HW, LR_HW),))
+    engine.warmup(shapes=((LR_HW, LR_HW),), u8=True)
+
+    results = []
+    for label, call in (("engine_f32", lambda: engine.upscale(img_f32)),
+                        ("engine_u8", lambda: engine.upscale_u8(img_u8))):
+        done = [0] * clients
+        stop = time.monotonic() + seconds
+
+        def client(i):
+            while time.monotonic() < stop:
+                call()
+                done[i] += 1
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(clients)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.monotonic() - t0
+        n = sum(done)
+        results.append({"stage": label, "requests_per_s": round(n / elapsed, 1),
+                        "output_mpix_per_s": round(
+                            n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
+                        "clients": clients, "max_batch": max_batch})
+    engine.close()
+    return results
+
+
+def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
+    from PIL import Image
+    from simplesr_tpu.tools.serve import serve, request_upscale
+
+    sock_path = os.path.join(tempfile.mkdtemp(), "sr.sock")
+    ready, stop_ev = threading.Event(), threading.Event()
+    server = threading.Thread(
+        target=serve, args=(model_path, SCALE),
+        kwargs=dict(socket_path=sock_path, max_batch=max_batch,
+                    max_wait_ms=10, ready_event=ready, stop_event=stop_ev),
+        daemon=True)
+    server.start()
+    ready.wait(30)
+
+    img_file = os.path.join(tempfile.mkdtemp(), "in.png")
+    arr = (np.random.default_rng(1).uniform(0, 255, (LR_HW, LR_HW, 3))
+           .astype(np.uint8))
+    Image.fromarray(arr).save(img_file)
+    request_upscale(sock_path, img_file)  # warm the bucket
+
+    done = [0] * clients
+    stop = time.monotonic() + seconds
+
+    def client(i):
+        while time.monotonic() < stop:
+            request_upscale(sock_path, img_file)
+            done[i] += 1
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.monotonic() - t0
+    n = sum(done)
+    stop_ev.set()
+    return {"stage": "socket_png", "requests_per_s": round(n / elapsed, 1),
+            "output_mpix_per_s": round(
+                n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
+            "clients": clients, "max_batch": max_batch}
+
+
+def main(clients=16, seconds=10):
+    tmp = tempfile.mkdtemp()
+    model_path = _make_model_file(tmp)
+    for rec in bench_engine(model_path, seconds, clients):
+        print(json.dumps(rec), flush=True)
+    print(json.dumps(bench_socket(model_path, seconds, max(4, clients // 2))),
+          flush=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

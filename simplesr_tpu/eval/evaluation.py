@@ -38,24 +38,33 @@ _TILE_PATCH = 128
 _TILE_OVERLAP = 32
 
 
-def _as_predictor(model):
-    """Normalize the many accepted model forms into `fn(lr_nhwc) -> sr`."""
+def _as_predictor(model, fast=True):
+    """Normalize the many accepted model forms into `fn(lr_nhwc) -> sr`.
+
+    `fast=True` (default) reparameterizes saved modules for serving when an
+    exact rewrite exists (models/polyphase.fast_inference — 2x on SRResNet);
+    `fast=False` serves the training-form module verbatim."""
     from simplesr_tpu.train.sr_model import SRModel
     from simplesr_tpu.train.generator import Generator
     from simplesr_tpu.train import serialization
 
     from simplesr_tpu.models.polyphase import fast_inference
 
+    if fast:
+        reparam = fast_inference
+    else:  # opt-out: serve the training-form module verbatim
+        reparam = lambda module, variables: (module, variables)
+
     if isinstance(model, (str, os.PathLike)):
         module, variables = serialization.load_model(str(model))
-        module, variables = fast_inference(module, variables)
+        module, variables = reparam(module, variables)
         return jax.jit(lambda x: module.apply(variables, x, train=False))
     if isinstance(model, SRModel):
         return model.generate
     if isinstance(model, Generator):
         return model.generate
     if isinstance(model, tuple) and len(model) == 2:
-        module, variables = fast_inference(*model)
+        module, variables = reparam(*model)
         return jax.jit(lambda x: module.apply(variables, x, train=False))
     if callable(model):
         return model

@@ -75,13 +75,32 @@ class _Request:
 
 
 class SREngine:
-    """Shape-bucketed batching executor around one warm model."""
+    """Shape-bucketed batching executor around one warm model.
+
+    Two entry points: `upscale` (float32 in/out — the library contract) and
+    `upscale_u8` (uint8 in/out). The uint8 path normalizes AND re-quantizes
+    ON DEVICE, so host↔device transfers carry 1 byte/channel instead of 4 —
+    a 4× cut of the serving path's dominant cost (PCIe on a real TPU VM;
+    measured 4.3× end-to-end through this dev environment's tunnel,
+    scripts/bench_serve.py). The socket server uses it for every request."""
 
     def __init__(self, model_path, scale, max_batch=8, max_wait_ms=5,
                  tile_threshold=1000):
+        import jax
+        import jax.numpy as jnp
         from simplesr_tpu.eval.evaluation import _as_predictor
 
         self._predict = _as_predictor(model_path)
+
+        @jax.jit
+        def predict_u8(x_u8):
+            sr = self._predict(x_u8.astype(jnp.float32) / 255.0)
+            sr = jnp.clip((sr.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0)
+            # truncating cast = the tools.upscale / offline quantization
+            # convention (np .astype(uint8)); keeps served bytes identical
+            return sr.astype(jnp.uint8)
+
+        self._predict_u8 = predict_u8
         self.scale = int(scale)
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
@@ -95,7 +114,14 @@ class SREngine:
 
     def upscale(self, img_01, timeout=120.0):
         """Blocking: float32 HWC [0,1] → float32 HWC [-1,1] SR."""
-        req = _Request(np.asarray(img_01, np.float32))
+        return self._submit(_Request(np.asarray(img_01, np.float32)), timeout)
+
+    def upscale_u8(self, img_u8, timeout=120.0):
+        """Blocking: uint8 HWC → uint8 HWC SR (device-side (de)quantization,
+        4× less host↔device traffic than `upscale`)."""
+        return self._submit(_Request(np.asarray(img_u8, np.uint8)), timeout)
+
+    def _submit(self, req, timeout):
         self._queue.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("SR request timed out")
@@ -103,10 +129,13 @@ class SREngine:
             raise req.error
         return req.result
 
-    def warmup(self, shapes=((64, 64), (128, 128))):
+    def warmup(self, shapes=((64, 64), (128, 128)), u8=False):
         """Pre-compile the common buckets so first requests aren't slow."""
         for h, w in shapes:
-            self.upscale(np.zeros((h, w, 3), np.float32))
+            if u8:
+                self.upscale_u8(np.zeros((h, w, 3), np.uint8))
+            else:
+                self.upscale(np.zeros((h, w, 3), np.float32))
 
     def close(self):
         self._stop.set()
@@ -133,7 +162,8 @@ class SREngine:
                 break
             if req is None:
                 break
-            if req.img.shape == first.img.shape:
+            if (req.img.shape == first.img.shape
+                    and req.img.dtype == first.img.dtype):
                 batch.append(req)
             else:
                 stragglers.append(req)  # different bucket: next round
@@ -151,14 +181,23 @@ class SREngine:
                 continue
             try:
                 h, w = batch[0].img.shape[:2]
+                u8 = batch[0].img.dtype == np.uint8
                 if min(h, w) > self.tile_threshold:
                     # tiled path is per-image; keep requests independent
-                    outs = [np.asarray(_upscale(
-                        self._predict, jnp.asarray(r.img)[None],
-                        self.scale)[0]) for r in batch]
+                    outs = []
+                    for r in batch:
+                        img = r.img.astype(np.float32) / 255.0 if u8 else r.img
+                        sr = np.asarray(_upscale(
+                            self._predict, jnp.asarray(img)[None],
+                            self.scale)[0])
+                        if u8:
+                            sr = np.clip((sr + 1.0) * 127.5, 0,
+                                         255).astype(np.uint8)
+                        outs.append(sr)
                 else:
                     stacked = jnp.asarray(np.stack([r.img for r in batch]))
-                    outs = np.asarray(self._predict(stacked))
+                    fn = self._predict_u8 if u8 else self._predict
+                    outs = np.asarray(fn(stacked))
                 for req, out in zip(batch, outs):
                     req.result = np.asarray(out)
             except Exception as e:  # report to the callers, keep serving
@@ -184,10 +223,8 @@ def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
             try:
                 blob = _recv_blob(self.request)
                 img = np.asarray(
-                    Image.open(io.BytesIO(blob)).convert("RGB"),
-                    np.float32) / 255.0
-                sr = engine.upscale(img)
-                arr = np.clip((sr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                    Image.open(io.BytesIO(blob)).convert("RGB"), np.uint8)
+                arr = engine.upscale_u8(img)  # (de)quantization on device
                 out = io.BytesIO()
                 Image.fromarray(arr).save(out, format="PNG")
                 _send_blob(self.request, out.getvalue())

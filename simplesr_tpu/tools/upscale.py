@@ -16,7 +16,8 @@ import time
 import numpy as np
 
 
-def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000):
+def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000,
+                  fast=True):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -24,7 +25,7 @@ def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000):
     from simplesr_tpu.eval.evaluation import _as_predictor, _upscale
     from simplesr_tpu.eval.rendering import tensor_to_img
 
-    predict = _as_predictor(model_path)
+    predict = _as_predictor(model_path, fast=fast)
     os.makedirs(output_dir, exist_ok=True)
     outputs = []
     for path in inputs:
@@ -50,9 +51,13 @@ def main(argv=None):
     p.add_argument("--model", required=True, help="saved model (.msgpack)")
     p.add_argument("--scale", type=int, default=4, help="model upsample factor")
     p.add_argument("--output", default=".", help="output directory")
+    p.add_argument("--no-fast", action="store_true",
+                   help="serve the training-form module (skip the exact "
+                        "polyphase serving reparameterization)")
     p.add_argument("inputs", nargs="+", help="input image files")
     args = p.parse_args(argv)
-    upscale_files(args.model, args.inputs, args.output, args.scale)
+    upscale_files(args.model, args.inputs, args.output, args.scale,
+                  fast=not args.no_fast)
     return 0
 
 

@@ -42,6 +42,34 @@ def test_srresnet_spatial_shard_matches_direct(rng):
     assert np.abs(s[:m] - d[:m]).max() < 0.5
 
 
+def test_polyphase_spatial_shard_matches_direct(rng):
+    """The serving-path (polyphase) model is fully convolutional at LR, so
+    it composes with halo-exchange spatial sharding the same way — seams
+    must stay exact with a receptive-field-covering halo."""
+    from simplesr_tpu.models.polyphase import polyphase_model
+
+    model = SRResNet(upsample_factor=2, num_res_blocks=1, num_filters=8,
+                     batch_norm=False, dtype=jnp.float32)
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+    poly, pvars = polyphase_model(model, variables)
+    img = jnp.asarray(rng.uniform(0, 1, (128, 32, 3)), jnp.float32)
+
+    mesh = make_mesh({SPATIAL_AXIS: 4}, devices=jax.devices()[:4])
+    halo, scale = 16, 2
+    sharded = spatial_sharded_apply(
+        lambda x: poly.apply(pvars, x, train=False),
+        img, mesh, scale=scale, halo=halo)
+    direct = model.apply(variables, img[None], train=False)[0]
+
+    s, d = np.asarray(sharded), np.asarray(direct)
+    m = halo * scale
+    np.testing.assert_allclose(s[m:-m], d[m:-m], atol=1e-3, rtol=1e-3)
+    for boundary in (64, 128, 192):
+        np.testing.assert_allclose(s[boundary - 8:boundary + 8],
+                                   d[boundary - 8:boundary + 8],
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_indivisible_height_raises(rng):
     model_fn = lambda x: x.repeat(2, axis=1).repeat(2, axis=2)
     mesh = make_mesh({SPATIAL_AXIS: 8})
