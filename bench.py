@@ -171,6 +171,9 @@ def main(argv=None):
     if "--rrdb" in argv:
         mode = argv[argv.index("--rrdb") + 1] if \
             len(argv) > argv.index("--rrdb") + 1 else "up"
+        if mode not in ("none", "up", "2phase", "full"):
+            raise SystemExit(f"--rrdb mode must be none|up|2phase|full, "
+                             f"got {mode!r}")
         mpix = measure_rrdb_inference_mpix_s(mode=mode)
         print(json.dumps({
             "metric": f"rrdb_x4_inference_output_mpix_per_s_{mode}",
@@ -188,8 +191,10 @@ def main(argv=None):
     mpix_per_s = measure_inference_mpix_s(num_filters=num_filters,
                                           polyphase=polyphase)
     if num_filters != 64:
+        tail = "poly" if polyphase else "trainform"
         print(json.dumps({
-            "metric": f"srresnet_x4_f{num_filters}_inference_output_mpix_per_s",
+            "metric": f"srresnet_x4_f{num_filters}_{tail}"
+                      "_inference_output_mpix_per_s",
             "value": round(mpix_per_s, 2),
             "unit": "MPix/s/chip",
             "vs_baseline": None,

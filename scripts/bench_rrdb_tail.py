@@ -14,10 +14,8 @@ the previous output) — see bench.py methodology notes.
 Run: python scripts/bench_rrdb_tail.py [batch] [hw] [chain]
 """
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,37 +25,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from simplesr_tpu.ops.shuffle import depth_to_space
+from bench_timing import chained_measure
 
 C = 64
 
 
-def _measure(fn, x, label, chain, flops=None):
-    probe = fn(x)
-    sy = probe.shape[1] // x.shape[1]
-    sx = probe.shape[2] // x.shape[2]
-    reps = -(-x.shape[3] // probe.shape[3])
-
-    @jax.jit
-    def chain_fn(t, n):
-        def body(_, t):
-            out = fn(t)
-            view = out[:, ::sy, ::sx, :]
-            view = jnp.tile(view, (1, 1, 1, reps))[..., : t.shape[3]]
-            return t * 0.999 + 1e-6 * view.astype(t.dtype)
-        return jnp.sum(lax.fori_loop(0, n, body, t).astype(jnp.float32))
-
-    float(chain_fn(x, 1))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain_fn(x, chain))
-        best = min(best, (time.perf_counter() - t0) / chain)
-    rec = {"stage": label, "ms": round(best * 1e3, 3)}
-    if flops:
-        rec["tflops_per_s"] = round(flops / best / 1e12, 1)
-    print(json.dumps(rec), flush=True)
-    return best
-
+_measure = chained_measure
 
 def main(batch=16, hw=128, chain=20):
     rng = np.random.default_rng(0)

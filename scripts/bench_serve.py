@@ -50,28 +50,32 @@ def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
     img_f32 = np.random.default_rng(0).uniform(0, 1, (LR_HW, LR_HW, 3)) \
         .astype(np.float32)
     img_u8 = (img_f32 * 255).astype(np.uint8)
-    engine.warmup(shapes=((LR_HW, LR_HW),))
-    engine.warmup(shapes=((LR_HW, LR_HW),), u8=True)
+    engine.warmup(shapes=((LR_HW, LR_HW),))  # both dtype buckets, batch-1
 
     results = []
     for label, call in (("engine_f32", lambda: engine.upscale(img_f32)),
                         ("engine_u8", lambda: engine.upscale_u8(img_u8))):
-        done = [0] * clients
-        stop = time.monotonic() + seconds
+        # ramp round first: the batching collector produces whatever batch
+        # sizes concurrency yields, and each NEW size is a fresh XLA
+        # compile — run the identical load untimed so compiles land outside
+        # the measured window, then measure steady state.
+        for measured in (False, True):
+            done = [0] * clients
+            stop = time.monotonic() + (seconds if measured else seconds / 2)
 
-        def client(i):
-            while time.monotonic() < stop:
-                call()
-                done[i] += 1
+            def client(i):
+                while time.monotonic() < stop:
+                    call()
+                    done[i] += 1
 
-        threads = [threading.Thread(target=client, args=(i,))
-                   for i in range(clients)]
-        t0 = time.monotonic()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        elapsed = time.monotonic() - t0
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(clients)]
+            t0 = time.monotonic()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            elapsed = time.monotonic() - t0
         n = sum(done)
         results.append({"stage": label, "requests_per_s": round(n / elapsed, 1),
                         "output_mpix_per_s": round(
@@ -99,23 +103,24 @@ def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
     arr = (np.random.default_rng(1).uniform(0, 255, (LR_HW, LR_HW, 3))
            .astype(np.uint8))
     Image.fromarray(arr).save(img_file)
-    request_upscale(sock_path, img_file)  # warm the bucket
 
-    done = [0] * clients
-    stop = time.monotonic() + seconds
+    for measured in (False, True):  # ramp round compiles the batch buckets
+        done = [0] * clients
+        stop = time.monotonic() + (seconds if measured else seconds / 2)
 
-    def client(i):
-        while time.monotonic() < stop:
-            request_upscale(sock_path, img_file)
-            done[i] += 1
+        def client(i):
+            while time.monotonic() < stop:
+                request_upscale(sock_path, img_file)
+                done[i] += 1
 
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
-    t0 = time.monotonic()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    elapsed = time.monotonic() - t0
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(clients)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.monotonic() - t0
     n = sum(done)
     stop_ev.set()
     return {"stage": "socket_png", "requests_per_s": round(n / elapsed, 1),

@@ -1,20 +1,18 @@
 """Dissect the SRResNet ×4 inference tail (subpixel upsample + output conv).
 
-docs/performance.md's component split puts the tail at ~12 ms of the 27.5 ms
-batch-16 forward (~43 %) while carrying only ~100 GFLOP (vs 1.2 TFLOP in the
-trunk) — i.e. it runs an order of magnitude below trunk efficiency. This
-script measures each tail stage in isolation on the real chip to find where
-the time goes (conv MXU shape? depth_to_space relayout? PReLU fusion?) and
-evaluates candidate XLA-level rewrites.
+The experiment that produced the polyphase serving tail
+(models/polyphase.py): measures each tail stage in isolation on the real
+chip (conv MXU shape? depth_to_space relayout? PReLU fusion?) and the
+candidate rewrites. Findings (v5e, batch 16×128², recorded in
+docs/performance.md): the tail is ~39 ms of the ~52 ms forward; the dense
+full-polyphase rewrite wins (12.5 ms); phase-split loses (21.6 ms).
 
 Run: python scripts/bench_upsample_tail.py [batch] [hw] [chain]
 Prints one JSON line per variant.
 """
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,41 +22,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from simplesr_tpu.ops.shuffle import depth_to_space
+from bench_timing import chained_measure
 
 C = 64
 
 
-def _measure(fn, x, label, chain, flops=None):
-    """Chained-iteration timing (bench.py methodology): each iteration's
-    input depends on the previous output, so XLA cannot hoist the body out
-    of the loop (a carry-only sum gets LICM'd and times dispatch overhead —
-    the first version of this script measured 215 TF/s, above chip peak)."""
-    probe = fn(x)
-    sy = probe.shape[1] // x.shape[1]
-    sx = probe.shape[2] // x.shape[2]
-    reps = -(-x.shape[3] // probe.shape[3])  # ceil
-
-    @jax.jit
-    def chain_fn(t, n):
-        def body(_, t):
-            out = fn(t)
-            view = out[:, ::sy, ::sx, :]
-            view = jnp.tile(view, (1, 1, 1, reps))[..., : t.shape[3]]
-            return t * 0.999 + 1e-6 * view.astype(t.dtype)
-        return jnp.sum(lax.fori_loop(0, n, body, t).astype(jnp.float32))
-
-    float(chain_fn(x, 1))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain_fn(x, chain))
-        best = min(best, (time.perf_counter() - t0) / chain)
-    rec = {"stage": label, "ms": round(best * 1e3, 3)}
-    if flops:
-        rec["tflops_per_s"] = round(flops / best / 1e12, 1)
-    print(json.dumps(rec), flush=True)
-    return best
-
+_measure = chained_measure
 
 def main(batch=16, hw=128, chain=20):
     rng = np.random.default_rng(0)

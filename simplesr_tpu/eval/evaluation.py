@@ -71,17 +71,17 @@ def _as_predictor(model, fast=True):
     raise TypeError(f"cannot build a predictor from {type(model)}")
 
 
-def _load_models(config, model, model_name):
+def _load_models(config, model, model_name, fast=True):
     if model is None:
         if getattr(config, "model_path", None) is None:
             raise ValueError("No model was supplied and config does not contain path to model")
         paths = config.model_path
         if not isinstance(paths, list):
             paths = [paths]
-        return {Path(p).stem: _as_predictor(p) for p in paths}
+        return {Path(p).stem: _as_predictor(p, fast=fast) for p in paths}
     if isinstance(model, dict):
-        return {k: _as_predictor(v) for k, v in model.items()}
-    return {model_name: _as_predictor(model)}
+        return {k: _as_predictor(v, fast=fast) for k, v in model.items()}
+    return {model_name: _as_predictor(model, fast=fast)}
 
 
 def _hw(tensor):
@@ -118,7 +118,7 @@ def _upscale(predict, lr_batch, scale):
 def evaluate_on_validationdata(config, model_name="", pipeline=None, model=None,
                                save_grid=False, combine_halfs=False,
                                save_single=False, save_prefix="",
-                               calc_stats=False):
+                               calc_stats=False, fast=True):
     """Paired evaluation on the pipeline's validation set. Returns
     {model_or_interp_name: {"psnr": [...], "psnr-y": [...], "ssim": [...]}}
     (values per image) when calc_stats, else {}."""
@@ -126,7 +126,7 @@ def evaluate_on_validationdata(config, model_name="", pipeline=None, model=None,
 
     if pipeline is None:
         pipeline = DataPipeline.from_config(config)
-    models = _load_models(config, model, model_name)
+    models = _load_models(config, model, model_name, fast=fast)
 
     ground_truth_key = "GT"
     low_res_key = "LR"
@@ -217,13 +217,13 @@ def evaluate_on_validationdata(config, model_name="", pipeline=None, model=None,
 def evaluate_on_testdata(config, model_name="", pipeline=None, model=None,
                          save_single=True, combine_halfs=False,
                          interpolate=True, grid=True, with_original=False,
-                         save_prefix=""):
+                         save_prefix="", fast=True):
     """Unpaired inference over the pipeline's test set (reference :214-320)."""
     from simplesr_tpu.data import DataPipeline
 
     if pipeline is None:
         pipeline = DataPipeline.inference_pipeline(config)
-    models = _load_models(config, model, model_name)
+    models = _load_models(config, model, model_name, fast=fast)
     scale = config.scale
     pic_dir = getattr(config, "pic_dir", ".")
     batch_size = getattr(config, "batch_size", 1)

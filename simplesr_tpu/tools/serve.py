@@ -68,9 +68,11 @@ class _Request:
     __slots__ = ("img", "event", "result", "error")
 
     def __init__(self, img):
-        self.img = img          # float32 HWC in [0, 1]
+        # float32 HWC in [0,1] (upscale) or uint8 HWC (upscale_u8); the
+        # result mirrors the request dtype: float32 [-1,1] or uint8
+        self.img = img
         self.event = threading.Event()
-        self.result = None      # float32 HWC in [-1, 1]
+        self.result = None
         self.error = None
 
 
@@ -80,17 +82,18 @@ class SREngine:
     Two entry points: `upscale` (float32 in/out — the library contract) and
     `upscale_u8` (uint8 in/out). The uint8 path normalizes AND re-quantizes
     ON DEVICE, so host↔device transfers carry 1 byte/channel instead of 4 —
-    a 4× cut of the serving path's dominant cost (PCIe on a real TPU VM;
-    measured 4.3× end-to-end through this dev environment's tunnel,
-    scripts/bench_serve.py). The socket server uses it for every request."""
+    a 4× cut of the serving path's dominant non-compute cost (PCIe on a
+    real TPU VM; measured 2.8× more steady-state requests/s through this
+    dev environment's bandwidth-limited tunnel, scripts/bench_serve.py).
+    The socket server uses it for every request."""
 
     def __init__(self, model_path, scale, max_batch=8, max_wait_ms=5,
-                 tile_threshold=1000):
+                 tile_threshold=1000, fast=True):
         import jax
         import jax.numpy as jnp
         from simplesr_tpu.eval.evaluation import _as_predictor
 
-        self._predict = _as_predictor(model_path)
+        self._predict = _as_predictor(model_path, fast=fast)
 
         @jax.jit
         def predict_u8(x_u8):
@@ -129,13 +132,24 @@ class SREngine:
             raise req.error
         return req.result
 
-    def warmup(self, shapes=((64, 64), (128, 128)), u8=False):
-        """Pre-compile the common buckets so first requests aren't slow."""
+    def warmup(self, shapes=((64, 64), (128, 128)), u8=None):
+        """Pre-compile EVERY batch bucket ({1,2,4,...,max_batch}, the full
+        set _run can dispatch thanks to pow2 padding) for each shape.
+        u8=None warms BOTH dtype buckets (the socket server serves uint8;
+        the library contract is float32)."""
+        sizes = []
+        b = 1
+        while True:  # covers next_pow2(max_batch) for non-pow2 max_batch
+            sizes.append(b)
+            if b >= self.max_batch:
+                break
+            b *= 2
         for h, w in shapes:
-            if u8:
-                self.upscale_u8(np.zeros((h, w, 3), np.uint8))
-            else:
-                self.upscale(np.zeros((h, w, 3), np.float32))
+            for n in sizes:
+                if u8 is None or u8:
+                    self._predict_u8(np.zeros((n, h, w, 3), np.uint8))
+                if u8 is None or not u8:
+                    self._predict(np.zeros((n, h, w, 3), np.float32))
 
     def close(self):
         self._stop.set()
@@ -195,9 +209,21 @@ class SREngine:
                                          255).astype(np.uint8)
                         outs.append(sr)
                 else:
-                    stacked = jnp.asarray(np.stack([r.img for r in batch]))
+                    # pad to the next power of two: batch entries are
+                    # independent through the convs, so served outputs are
+                    # byte-identical while the jit-compile set stays
+                    # bounded ({1,2,4,...,max_batch} per shape instead of
+                    # every batch size concurrency happens to produce —
+                    # each novel size is a fresh multi-second XLA compile)
+                    stacked = np.stack([r.img for r in batch])
+                    target = 1
+                    while target < len(batch):
+                        target *= 2
+                    if target > len(batch):
+                        pad = np.repeat(stacked[:1], target - len(batch), 0)
+                        stacked = np.concatenate([stacked, pad], 0)
                     fn = self._predict_u8 if u8 else self._predict
-                    outs = np.asarray(fn(stacked))
+                    outs = np.asarray(fn(jnp.asarray(stacked)))[:len(batch)]
                 for req, out in zip(batch, outs):
                     req.result = np.asarray(out)
             except Exception as e:  # report to the callers, keep serving
@@ -211,12 +237,16 @@ class SREngine:
 # ----------------------------------------------------------------- server
 
 def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
-          max_wait_ms=5, ready_event=None, stop_event=None):
-    """Run the daemon until stop_event (or forever)."""
+          max_wait_ms=5, ready_event=None, stop_event=None, warm_shapes=None):
+    """Run the daemon until stop_event (or forever). `warm_shapes`
+    (e.g. ((128, 128),)) pre-compiles those LR buckets in the uint8 dtype
+    the socket path serves, before readiness is signaled."""
     from PIL import Image
 
     engine = SREngine(model_path, scale, max_batch=max_batch,
                       max_wait_ms=max_wait_ms)
+    if warm_shapes:
+        engine.warmup(shapes=warm_shapes, u8=True)
 
     class Handler(socketserver.BaseRequestHandler):
         def handle(self):
@@ -296,6 +326,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, help="TCP port (instead of --socket)")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5)
+    p.add_argument("--warm", metavar="HxW[,HxW...]",
+                   help="pre-compile these LR shape buckets before serving "
+                        "(e.g. 128x128,256x256)")
     p.add_argument("--client", metavar="ADDR",
                    help="client mode: socket path (or host:port)")
     p.add_argument("--output", default=".", help="[client] output directory")
@@ -319,11 +352,15 @@ def main(argv=None):
 
     if not args.model or not (args.socket or args.port):
         p.error("server mode needs --model and --socket/--port")
+    warm = None
+    if args.warm:
+        warm = tuple(tuple(int(d) for d in s.split("x"))
+                     for s in args.warm.split(","))
     print(f"serving {args.model} x{args.scale} on "
           f"{args.socket or f'127.0.0.1:{args.port}'}", flush=True)
     serve(args.model, args.scale, socket_path=args.socket,
           tcp_port=args.port, max_batch=args.max_batch,
-          max_wait_ms=args.max_wait_ms)
+          max_wait_ms=args.max_wait_ms, warm_shapes=warm)
     return 0
 
 

@@ -51,9 +51,12 @@ def test_engine_batches_same_shape_and_matches_direct(model_file, rng):
         expect = np.asarray(direct(jnp.asarray(img)[None])[0])
         np.testing.assert_array_equal(np.asarray(out), expect)
     # the three same-shape requests must NOT have run as 3 single-image
-    # dispatches (the deadline lets them coalesce)
+    # dispatches (the deadline lets them coalesce), and every dispatched
+    # batch is a pow2 bucket (bounded compile set; padding sliced off)
     b16 = [s for s in calls if s[1] == 16 and s[2] == 16]
-    assert sum(s[0] for s in b16) == 3 and len(b16) <= 2
+    assert len(b16) <= 2
+    assert all(s[0] in (1, 2, 4) for s in b16)
+    assert sum(s[0] for s in b16) >= 3
 
 
 def test_socket_roundtrip(model_file, rng, tmp_path):
