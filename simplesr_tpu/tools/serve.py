@@ -88,24 +88,38 @@ class SREngine:
     The socket server uses it for every request."""
 
     def __init__(self, model_path, scale, max_batch=8, max_wait_ms=5,
-                 tile_threshold=1000, fast=True):
+                 tile_threshold=1000, fast=True, mesh=None):
         import jax
         import jax.numpy as jnp
         from simplesr_tpu.eval.evaluation import _as_predictor
 
-        self._predict = _as_predictor(model_path, fast=fast)
+        base = _as_predictor(model_path, fast=fast)
 
-        @jax.jit
-        def predict_u8(x_u8):
-            sr = self._predict(x_u8.astype(jnp.float32) / 255.0)
+        def u8_wrapper(x_u8):
+            sr = base(x_u8.astype(jnp.float32) / 255.0)
             sr = jnp.clip((sr.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0)
             # truncating cast = the tools.upscale / offline quantization
             # convention (np .astype(uint8)); keeps served bytes identical
             return sr.astype(jnp.uint8)
 
-        self._predict_u8 = predict_u8
+        if mesh is not None:
+            # multi-chip serving: shard the batch dimension over the mesh's
+            # first axis (pure SPMD data parallelism — the generator weights
+            # replicate, XLA inserts no collectives in the forward). Batch
+            # buckets are padded up to at least the device count below.
+            from jax.sharding import NamedSharding, PartitionSpec
+            shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            self._min_batch = mesh.devices.size
+            self._predict = jax.jit(base, in_shardings=shard,
+                                    out_shardings=shard)
+            self._predict_u8 = jax.jit(u8_wrapper, in_shardings=shard,
+                                       out_shardings=shard)
+        else:
+            self._min_batch = 1
+            self._predict = base
+            self._predict_u8 = jax.jit(u8_wrapper)
         self.scale = int(scale)
-        self.max_batch = int(max_batch)
+        self.max_batch = max(int(max_batch), self._min_batch)
         self.max_wait_s = max_wait_ms / 1000.0
         self.tile_threshold = tile_threshold
         self._queue = queue.SimpleQueue()
@@ -138,7 +152,7 @@ class SREngine:
         u8=None warms BOTH dtype buckets (the socket server serves uint8;
         the library contract is float32)."""
         sizes = []
-        b = 1
+        b = self._min_batch
         while True:  # covers next_pow2(max_batch) for non-pow2 max_batch
             sizes.append(b)
             if b >= self.max_batch:
@@ -216,7 +230,7 @@ class SREngine:
                     # every batch size concurrency happens to produce —
                     # each novel size is a fresh multi-second XLA compile)
                     stacked = np.stack([r.img for r in batch])
-                    target = 1
+                    target = self._min_batch  # ≥ mesh device count
                     while target < len(batch):
                         target *= 2
                     if target > len(batch):
@@ -237,14 +251,16 @@ class SREngine:
 # ----------------------------------------------------------------- server
 
 def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
-          max_wait_ms=5, ready_event=None, stop_event=None, warm_shapes=None):
+          max_wait_ms=5, ready_event=None, stop_event=None, warm_shapes=None,
+          mesh=None):
     """Run the daemon until stop_event (or forever). `warm_shapes`
     (e.g. ((128, 128),)) pre-compiles those LR buckets in the uint8 dtype
-    the socket path serves, before readiness is signaled."""
+    the socket path serves, before readiness is signaled. `mesh` shards
+    request batches over its data axis (multi-chip serving)."""
     from PIL import Image
 
     engine = SREngine(model_path, scale, max_batch=max_batch,
-                      max_wait_ms=max_wait_ms)
+                      max_wait_ms=max_wait_ms, mesh=mesh)
     if warm_shapes:
         engine.warmup(shapes=warm_shapes, u8=True)
 
@@ -329,6 +345,9 @@ def main(argv=None):
     p.add_argument("--warm", metavar="HxW[,HxW...]",
                    help="pre-compile these LR shape buckets before serving "
                         "(e.g. 128x128,256x256)")
+    p.add_argument("--mesh-dp", type=int, metavar="N",
+                   help="shard request batches over N devices "
+                        "(multi-chip data-parallel serving)")
     p.add_argument("--client", metavar="ADDR",
                    help="client mode: socket path (or host:port)")
     p.add_argument("--output", default=".", help="[client] output directory")
@@ -356,11 +375,16 @@ def main(argv=None):
     if args.warm:
         warm = tuple(tuple(int(d) for d in s.split("x"))
                      for s in args.warm.split(","))
+    mesh = None
+    if args.mesh_dp:
+        import jax
+        from simplesr_tpu.parallel import make_mesh
+        mesh = make_mesh(devices=jax.devices()[:args.mesh_dp])
     print(f"serving {args.model} x{args.scale} on "
           f"{args.socket or f'127.0.0.1:{args.port}'}", flush=True)
     serve(args.model, args.scale, socket_path=args.socket,
           tcp_port=args.port, max_batch=args.max_batch,
-          max_wait_ms=args.max_wait_ms, warm_shapes=warm)
+          max_wait_ms=args.max_wait_ms, warm_shapes=warm, mesh=mesh)
     return 0
 
 

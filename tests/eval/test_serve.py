@@ -90,3 +90,41 @@ def test_socket_roundtrip(model_file, rng, tmp_path):
         stop.set()
         server.join(timeout=30)
     assert not os.path.exists(sock_path)  # daemon cleaned up
+
+
+def test_engine_mesh_serving_matches_single_device(model_file, rng):
+    """SREngine(mesh=...) shards request batches over the data axis; served
+    outputs must match the single-device engine exactly, including when the
+    pow2 pad target is raised to the device count."""
+    import jax
+    from simplesr_tpu.parallel import make_mesh
+    from simplesr_tpu.tools.serve import SREngine
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    meshed = SREngine(model_file, scale=2, max_batch=8, max_wait_ms=20,
+                      mesh=mesh)
+    plain = SREngine(model_file, scale=2, max_batch=8, max_wait_ms=1)
+    assert meshed._min_batch == 8
+
+    imgs = [rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+            for _ in range(3)]  # 3 requests -> padded to the 8-wide bucket
+    results = [None] * 3
+
+    def run(i):
+        results[i] = meshed.upscale(imgs[i])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    for img, out in zip(imgs, results):
+        expect = plain.upscale(img)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5, rtol=1e-5)
+
+    u8 = (imgs[0] * 255).astype(np.uint8)
+    np.testing.assert_array_equal(meshed.upscale_u8(u8), plain.upscale_u8(u8))
+    meshed.close()
+    plain.close()
