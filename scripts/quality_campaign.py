@@ -211,6 +211,13 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
     if arch == "srresnet":
         gen = Generator.srresnet(upsample_factor=SCALE, batch_norm=False,
                                  input_dims=lr_dims, **size)
+    elif arch == "srresnet128":
+        # lane-filling variant (docs/performance.md: C=128 fills both MXU
+        # dimensions — 155 vs 53 TFLOP/s trunk)
+        gen = Generator.srresnet(upsample_factor=SCALE, batch_norm=False,
+                                 num_filters=128, input_dims=lr_dims,
+                                 **({k: v for k, v in size.items()
+                                     if k != "num_filters"}))
     elif arch == "rrdb":
         gen = Generator.rrdb(upsample_factor=SCALE,
                              input_dims=lr_dims, **(size or dict(num_blocks=8)))
@@ -264,7 +271,8 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                    config=_cfg(tmp, patience))
 
 
-def main(fast=False, tiny=False):
+def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
+         gan_pairs=(("srgan", "srresnet"), ("esrgan", "rrdb"))):
     os.makedirs(os.path.join(OUT_DIR, "models"), exist_ok=True)
     max_epochs = 3 if fast else 120
     patience = 10**6 if fast else 8
@@ -277,12 +285,18 @@ def main(fast=False, tiny=False):
     print(f"{train[0].shape[0]} train pairs, {val[0].shape[0]} val pairs, "
           f"{train[0].shape[0] // BATCH} steps/epoch", flush=True)
 
+    # merge into an existing results file so subset runs (--pixel / --gan)
+    # append to the campaign table instead of clobbering it
     results = {"scale": SCALE, "train_imgs": list(TRAIN_IMGS),
                "heldout_imgs": list(HELDOUT_IMGS)}
+    results_path = os.path.join(OUT_DIR, "RESULTS.json")
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            results = {**json.load(f), **results}
     ckpt_dirs = {}
 
     import traceback
-    for arch in ("srresnet", "rrdb"):
+    for arch in pixel_archs:
         tmp = tempfile.mkdtemp(prefix=f"campaign_{arch}_")
         model = build_model(arch, tmp, patience, steps_hint, tiny=tiny)
         print(f"=== training {arch} x{SCALE} ===", flush=True)
@@ -301,7 +315,11 @@ def main(fast=False, tiny=False):
             json.dump(results, f, indent=2)
 
     # two-stage runs: warm-start each GAN from its pixel-pretrained parent
-    for arch, parent in (("srgan", "srresnet"), ("esrgan", "rrdb")):
+    for arch, parent in gan_pairs:
+        if parent not in ckpt_dirs:
+            print(f"[{arch}] skipped: no {parent} pretrain in this run",
+                  flush=True)
+            continue
         tmp = tempfile.mkdtemp(prefix=f"campaign_{arch}_")
         model = build_model(arch, tmp, patience, steps_hint,
                             resnet_checkpoint=ckpt_dirs[parent], tiny=tiny)
@@ -353,6 +371,27 @@ def _write_markdown(results):
         f.write("\n".join(lines) + "\n")
 
 
+def _parse_cli(argv):
+    """--scale N (4 switches to 128px crops + results/quality_r2_x4, the
+    runs committed under that directory), --pixel a[,b...],
+    --gan gan:parent[,...] to run subsets."""
+    global SCALE, CROP, OUT_DIR
+    kwargs = {"fast": "--fast" in argv or "--tiny" in argv,
+              "tiny": "--tiny" in argv}
+    if "--scale" in argv:
+        SCALE = int(argv[argv.index("--scale") + 1])
+        CROP = 96 if SCALE == 2 else 128
+        if SCALE != 2:
+            OUT_DIR = OUT_DIR.rstrip("/") + f"_x{SCALE}"
+    if "--pixel" in argv:
+        kwargs["pixel_archs"] = tuple(
+            argv[argv.index("--pixel") + 1].split(","))
+    if "--gan" in argv:
+        spec = argv[argv.index("--gan") + 1]
+        kwargs["gan_pairs"] = () if spec in ("none", "") else tuple(
+            tuple(p.split(":")) for p in spec.split(","))
+    return kwargs
+
+
 if __name__ == "__main__":
-    main(fast="--fast" in sys.argv or "--tiny" in sys.argv,
-         tiny="--tiny" in sys.argv)
+    main(**_parse_cli(sys.argv[1:]))
