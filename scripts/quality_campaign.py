@@ -219,8 +219,8 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                                  **({k: v for k, v in size.items()
                                      if k != "num_filters"}))
     elif arch == "rrdb":
-        gen = Generator.rrdb(upsample_factor=SCALE,
-                             input_dims=lr_dims, **(size or dict(num_blocks=8)))
+        gen = Generator.rrdb(upsample_factor=SCALE, input_dims=lr_dims,
+                             **(size or dict(num_blocks=RRDB_BLOCKS)))
     elif arch == "srgan":
         gen = Generator.srgan_generator(
             upsample_factor=SCALE, vgg_loss=False, batch_norm=False,
@@ -271,10 +271,14 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                    config=_cfg(tmp, patience))
 
 
+RRDB_BLOCKS = 8   # --rrdb-blocks; 8 fits the corpus, 16+ = paper capacity
+MAX_EPOCHS = 120  # --epochs
+
+
 def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
          gan_pairs=(("srgan", "srresnet"), ("esrgan", "rrdb"))):
     os.makedirs(os.path.join(OUT_DIR, "models"), exist_ok=True)
-    max_epochs = 3 if fast else 120
+    max_epochs = 3 if fast else MAX_EPOCHS
     patience = 10**6 if fast else 8
     gan_epochs = 2 if fast else 25
 
@@ -383,6 +387,13 @@ def _parse_cli(argv):
         CROP = 96 if SCALE == 2 else 128
         if SCALE != 2:
             OUT_DIR = OUT_DIR.rstrip("/") + f"_x{SCALE}"
+    if "--out" in argv:  # e.g. smoke runs — don't merge into committed results
+        OUT_DIR = argv[argv.index("--out") + 1]
+    global RRDB_BLOCKS, MAX_EPOCHS
+    if "--rrdb-blocks" in argv:
+        RRDB_BLOCKS = int(argv[argv.index("--rrdb-blocks") + 1])
+    if "--epochs" in argv:
+        MAX_EPOCHS = int(argv[argv.index("--epochs") + 1])
     if "--pixel" in argv:
         kwargs["pixel_archs"] = tuple(
             argv[argv.index("--pixel") + 1].split(","))
