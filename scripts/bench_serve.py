@@ -61,11 +61,14 @@ def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
         # the measured window, then measure steady state.
         for measured in (False, True):
             done = [0] * clients
+            lat = []
             stop = time.monotonic() + (seconds if measured else seconds / 2)
 
             def client(i):
                 while time.monotonic() < stop:
+                    t0 = time.monotonic()
                     call()
+                    lat.append(time.monotonic() - t0)
                     done[i] += 1
 
             threads = [threading.Thread(target=client, args=(i,))
@@ -77,10 +80,16 @@ def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
                 t.join()
             elapsed = time.monotonic() - t0
         n = sum(done)
-        results.append({"stage": label, "requests_per_s": round(n / elapsed, 1),
-                        "output_mpix_per_s": round(
-                            n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
-                        "clients": clients, "max_batch": max_batch})
+        lat.sort()
+        rec = {"stage": label, "requests_per_s": round(n / elapsed, 1),
+               "output_mpix_per_s": round(
+                   n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
+               "clients": clients, "max_batch": max_batch}
+        if lat:
+            rec["latency_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 1)
+            rec["latency_ms_p95"] = round(
+                lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3, 1)
+        results.append(rec)
     engine.close()
     return results
 
