@@ -115,11 +115,14 @@ def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
 
     for measured in (False, True):  # ramp round compiles the batch buckets
         done = [0] * clients
+        lat = []
         stop = time.monotonic() + (seconds if measured else seconds / 2)
 
         def client(i):
             while time.monotonic() < stop:
+                t0 = time.monotonic()
                 request_upscale(sock_path, img_file)
+                lat.append(time.monotonic() - t0)
                 done[i] += 1
 
         threads = [threading.Thread(target=client, args=(i,))
@@ -132,10 +135,16 @@ def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
         elapsed = time.monotonic() - t0
     n = sum(done)
     stop_ev.set()
-    return {"stage": "socket_png", "requests_per_s": round(n / elapsed, 1),
-            "output_mpix_per_s": round(
-                n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
-            "clients": clients, "max_batch": max_batch}
+    lat.sort()
+    rec = {"stage": "socket_png", "requests_per_s": round(n / elapsed, 1),
+           "output_mpix_per_s": round(
+               n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
+           "clients": clients, "max_batch": max_batch}
+    if lat:
+        rec["latency_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 1)
+        rec["latency_ms_p95"] = round(
+            lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3, 1)
+    return rec
 
 
 def main(clients=16, seconds=10):

@@ -35,3 +35,21 @@ def test_cli_main(tmp_path, rng):
                "--output", str(tmp_path / "o"), in_path])
     assert rc == 0
     assert (tmp_path / "o" / "x_x2.png").exists()
+
+
+def test_no_fast_flag_matches_fast(tmp_path, rng):
+    """--no-fast serves the training-form module; for an f32 model the two
+    paths must produce (near-)identical PNG bytes."""
+    model = _save_tiny_model(tmp_path)
+    img = (rng.uniform(0, 255, (24, 24, 3))).astype(np.uint8)
+    in_path = str(tmp_path / "in.png")
+    Image.fromarray(img).save(in_path)
+
+    rc = main(["--model", model, "--scale", "2", "--no-fast",
+               "--output", str(tmp_path / "slow"), in_path])
+    assert rc == 0
+    outs = upscale_files(model, [in_path], str(tmp_path / "fast"), scale=2)
+    slow = np.asarray(Image.open(str(tmp_path / "slow" / "in_x2.png")),
+                      np.int16)
+    fast = np.asarray(Image.open(outs[0]), np.int16)
+    assert np.abs(slow - fast).max() <= 1  # f32 reassociation -> at most 1 LSB
