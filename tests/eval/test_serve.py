@@ -128,3 +128,38 @@ def test_engine_mesh_serving_matches_single_device(model_file, rng):
     np.testing.assert_array_equal(meshed.upscale_u8(u8), plain.upscale_u8(u8))
     meshed.close()
     plain.close()
+
+
+def test_server_survives_malformed_request(model_file, rng, tmp_path):
+    """A garbage blob must error that one request (empty-blob reply) and
+    leave the daemon serving."""
+    import socket as socket_mod
+    from PIL import Image
+    from simplesr_tpu.tools import serve as serve_mod
+
+    sock_path = str(tmp_path / "sr.sock")
+    ready, stop = threading.Event(), threading.Event()
+    server = threading.Thread(
+        target=serve_mod.serve,
+        kwargs=dict(model_path=model_file, scale=2, socket_path=sock_path,
+                    ready_event=ready, stop_event=stop, max_wait_ms=1),
+        daemon=True)
+    server.start()
+    assert ready.wait(timeout=120)
+    try:
+        # malformed: not an image
+        s = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+        s.connect(sock_path)
+        serve_mod._send_blob(s, b"this is not a PNG")
+        assert serve_mod._recv_blob(s) == b""  # error signalled, no crash
+        s.close()
+
+        # the daemon still serves real requests afterwards
+        img_path = str(tmp_path / "ok.png")
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+                        ).save(img_path)
+        out = serve_mod.request_upscale(sock_path, img_path)
+        assert out.shape == (32, 32, 3)
+    finally:
+        stop.set()
+        server.join(timeout=30)
