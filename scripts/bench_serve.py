@@ -103,10 +103,13 @@ def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
     server = threading.Thread(
         target=serve, args=(model_path, SCALE),
         kwargs=dict(socket_path=sock_path, max_batch=max_batch,
-                    max_wait_ms=10, ready_event=ready, stop_event=stop_ev),
+                    max_wait_ms=10, ready_event=ready, stop_event=stop_ev,
+                    # precompile every pow2 batch bucket for this shape —
+                    # otherwise first-use compiles land inside the window
+                    warm_shapes=((LR_HW, LR_HW),)),
         daemon=True)
     server.start()
-    ready.wait(30)
+    ready.wait(600)
 
     img_file = os.path.join(tempfile.mkdtemp(), "in.png")
     arr = (np.random.default_rng(1).uniform(0, 255, (LR_HW, LR_HW, 3))
