@@ -43,6 +43,42 @@ def _make_model_file(tmpdir):
     return path
 
 
+def _run_load(call, clients, seconds, stage, max_batch):
+    """Ramp (untimed, absorbs first-use bucket compiles) + measured window;
+    returns the stage record with throughput and latency percentiles."""
+    for measured in (False, True):
+        done = [0] * clients
+        lat = []
+        stop = time.monotonic() + (seconds if measured else seconds / 2)
+
+        def client(i):
+            while time.monotonic() < stop:
+                t0 = time.monotonic()
+                call()
+                lat.append(time.monotonic() - t0)
+                done[i] += 1
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(clients)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.monotonic() - t0
+    n = sum(done)
+    lat.sort()
+    rec = {"stage": stage, "requests_per_s": round(n / elapsed, 1),
+           "output_mpix_per_s": round(
+               n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
+           "clients": clients, "max_batch": max_batch}
+    if lat:
+        rec["latency_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 1)
+        rec["latency_ms_p95"] = round(
+            lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3, 1)
+    return rec
+
+
 def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
     from simplesr_tpu.tools.serve import SREngine
 
@@ -52,47 +88,14 @@ def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
     img_u8 = (img_f32 * 255).astype(np.uint8)
     engine.warmup(shapes=((LR_HW, LR_HW),))  # both dtype buckets, batch-1
 
-    results = []
-    for label, call in (("engine_f32", lambda: engine.upscale(img_f32)),
-                        ("engine_u8", lambda: engine.upscale_u8(img_u8))):
-        # ramp round first: the batching collector produces whatever batch
-        # sizes concurrency yields, and each NEW size is a fresh XLA
-        # compile — run the identical load untimed so compiles land outside
-        # the measured window, then measure steady state.
-        for measured in (False, True):
-            done = [0] * clients
-            lat = []
-            stop = time.monotonic() + (seconds if measured else seconds / 2)
-
-            def client(i):
-                while time.monotonic() < stop:
-                    t0 = time.monotonic()
-                    call()
-                    lat.append(time.monotonic() - t0)
-                    done[i] += 1
-
-            threads = [threading.Thread(target=client, args=(i,))
-                       for i in range(clients)]
-            t0 = time.monotonic()
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            elapsed = time.monotonic() - t0
-        n = sum(done)
-        lat.sort()
-        rec = {"stage": label, "requests_per_s": round(n / elapsed, 1),
-               "output_mpix_per_s": round(
-                   n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
-               "clients": clients, "max_batch": max_batch}
-        if lat:
-            rec["latency_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 1)
-            rec["latency_ms_p95"] = round(
-                lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3, 1)
-        results.append(rec)
+    results = [
+        _run_load(lambda: engine.upscale(img_f32), clients, seconds,
+                  "engine_f32", max_batch),
+        _run_load(lambda: engine.upscale_u8(img_u8), clients, seconds,
+                  "engine_u8", max_batch),
+    ]
     engine.close()
     return results
-
 
 def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
     from PIL import Image
@@ -116,38 +119,11 @@ def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
            .astype(np.uint8))
     Image.fromarray(arr).save(img_file)
 
-    for measured in (False, True):  # ramp round compiles the batch buckets
-        done = [0] * clients
-        lat = []
-        stop = time.monotonic() + (seconds if measured else seconds / 2)
-
-        def client(i):
-            while time.monotonic() < stop:
-                t0 = time.monotonic()
-                request_upscale(sock_path, img_file)
-                lat.append(time.monotonic() - t0)
-                done[i] += 1
-
-        threads = [threading.Thread(target=client, args=(i,))
-                   for i in range(clients)]
-        t0 = time.monotonic()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        elapsed = time.monotonic() - t0
-    n = sum(done)
+    rec = _run_load(lambda: request_upscale(sock_path, img_file),
+                    clients, seconds, "socket_png", max_batch)
     stop_ev.set()
-    lat.sort()
-    rec = {"stage": "socket_png", "requests_per_s": round(n / elapsed, 1),
-           "output_mpix_per_s": round(
-               n * (LR_HW * SCALE) ** 2 / elapsed / 1e6, 1),
-           "clients": clients, "max_batch": max_batch}
-    if lat:
-        rec["latency_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 1)
-        rec["latency_ms_p95"] = round(
-            lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3, 1)
     return rec
+
 
 
 def main(clients=16, seconds=10):

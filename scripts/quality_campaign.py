@@ -252,7 +252,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                 RaAdversarialLoss(weighted=True, loss_weight=5e-3),
             ],
             residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
-            **(size or dict(num_blocks=8)))
+            **(size or dict(num_blocks=RRDB_BLOCKS)))
         disc = Discriminator.initialize_relativistic(
             input_dims=(CROP, CROP),
             **(dict(num_filters=8) if tiny else {}))
@@ -384,6 +384,8 @@ def _parse_cli(argv):
               "tiny": "--tiny" in argv}
     if "--scale" in argv:
         SCALE = int(argv[argv.index("--scale") + 1])
+        if SCALE not in (2, 4, 8):
+            raise SystemExit(f"--scale must be 2, 4, or 8, got {SCALE}")
         CROP = 96 if SCALE == 2 else 128
         if SCALE != 2:
             OUT_DIR = OUT_DIR.rstrip("/") + f"_x{SCALE}"
@@ -399,8 +401,15 @@ def _parse_cli(argv):
             argv[argv.index("--pixel") + 1].split(","))
     if "--gan" in argv:
         spec = argv[argv.index("--gan") + 1]
-        kwargs["gan_pairs"] = () if spec in ("none", "") else tuple(
-            tuple(p.split(":")) for p in spec.split(","))
+        if spec in ("none", ""):
+            kwargs["gan_pairs"] = ()
+        else:
+            pairs = tuple(tuple(p.split(":")) for p in spec.split(","))
+            bad = [":".join(p) for p in pairs if len(p) != 2]
+            if bad:  # fail BEFORE hours of pixel training, not after
+                raise SystemExit(
+                    f"--gan entries must be gan:parent, got {bad}")
+            kwargs["gan_pairs"] = pairs
     return kwargs
 
 

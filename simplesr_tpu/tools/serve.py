@@ -106,10 +106,11 @@ class SREngine:
             # multi-chip serving: shard the batch dimension over the mesh's
             # first axis (pure SPMD data parallelism — the generator weights
             # replicate, XLA inserts no collectives in the forward). Batch
-            # buckets are padded up to at least the device count below.
-            from jax.sharding import NamedSharding, PartitionSpec
-            shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-            self._min_batch = mesh.devices.size
+            # buckets are padded up to at least the axis size below.
+            from simplesr_tpu.parallel.mesh import data_sharding
+            axis = mesh.axis_names[0]
+            shard = data_sharding(mesh, axis=axis)
+            self._min_batch = mesh.shape[axis]
             self._predict = jax.jit(base, in_shardings=shard,
                                     out_shardings=shard)
             self._predict_u8 = jax.jit(u8_wrapper, in_shardings=shard,
@@ -147,10 +148,11 @@ class SREngine:
         return req.result
 
     def warmup(self, shapes=((64, 64), (128, 128)), u8=None):
-        """Pre-compile EVERY batch bucket ({1,2,4,...,max_batch}, the full
-        set _run can dispatch thanks to pow2 padding) for each shape.
-        u8=None warms BOTH dtype buckets (the socket server serves uint8;
-        the library contract is float32)."""
+        """Pre-compile EVERY batch bucket for each shape — the pow2 ladder
+        from _min_batch (1, or the mesh axis size) up to max_batch, the
+        full set _run can dispatch thanks to pow2 padding. u8=None warms
+        BOTH dtype buckets (the socket server serves uint8; the library
+        contract is float32)."""
         sizes = []
         b = self._min_batch
         while True:  # covers next_pow2(max_batch) for non-pow2 max_batch
@@ -223,11 +225,11 @@ class SREngine:
                                          255).astype(np.uint8)
                         outs.append(sr)
                 else:
-                    # pad to the next power of two: batch entries are
-                    # independent through the convs, so served outputs are
-                    # byte-identical while the jit-compile set stays
-                    # bounded ({1,2,4,...,max_batch} per shape instead of
-                    # every batch size concurrency happens to produce —
+                    # pad to the next pow2 step from _min_batch: batch
+                    # entries are independent through the convs, so served
+                    # outputs are byte-identical while the jit-compile set
+                    # stays bounded (the warmup() ladder per shape instead
+                    # of every batch size concurrency happens to produce —
                     # each novel size is a fresh multi-second XLA compile)
                     stacked = np.stack([r.img for r in batch])
                     target = self._min_batch  # ≥ mesh device count
@@ -379,6 +381,10 @@ def main(argv=None):
     if args.mesh_dp:
         import jax
         from simplesr_tpu.parallel import make_mesh
+        avail = len(jax.devices())
+        if args.mesh_dp > avail:  # don't silently serve at lower parallelism
+            p.error(f"--mesh-dp {args.mesh_dp} but only {avail} devices"
+                    " are available")
         mesh = make_mesh(devices=jax.devices()[:args.mesh_dp])
     print(f"serving {args.model} x{args.scale} on "
           f"{args.socket or f'127.0.0.1:{args.port}'}", flush=True)
