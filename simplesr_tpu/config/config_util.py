@@ -259,6 +259,7 @@ class ConfigUtil:
         self.config_logfile = os.path.join(self.save_path, "config_logfile")
         if not self.dry_run:
             os.makedirs(self.save_path, exist_ok=True)
+            self._update_latest_symlink()
         self._add_save_dir("pics", "pic_dir")
 
         if self.operation not in ("testing", "evaluation", "inference"):
@@ -276,6 +277,22 @@ class ConfigUtil:
                 self.batch_train_summary_writer = _make_summary_writer(self.log_dir_train_batch)
                 self.epoch_validation_summary_writer = _make_summary_writer(self.log_dir_val_epoch)
                 self.batch_validation_summary_writer = _make_summary_writer(self.log_dir_val_batch)
+
+    def _update_latest_symlink(self):
+        """Point <results>/<operation>/latest at this run's save dir, so
+        follow-up configs can reference e.g.
+        `training/latest/models/resnet_gen_best.msgpack` without pasting
+        timestamps (the evaluation example does). Best-effort: skipped on
+        filesystems without symlink support."""
+        link = os.path.join(os.path.dirname(self.save_path), "latest")
+        try:
+            if os.path.islink(link):
+                os.unlink(link)
+            elif os.path.exists(link):
+                return  # a real directory named "latest" — leave it alone
+            os.symlink(self.save_dir_name, link)
+        except OSError:
+            pass
 
     def _add_save_dir(self, dir_name, attribute_name):
         path = os.path.join(self.save_path, dir_name)

@@ -194,3 +194,16 @@ def test_discriminator_from_yaml_multi_loss():
     # unweighted + 0.5-weighted copy of the same loss = 1.5x the single loss
     np.testing.assert_allclose(float(total), 1.5 * float(single), rtol=1e-6)
     assert "discriminator_accuracy" in metrics
+
+
+def test_latest_symlink_points_at_newest_run(tmp_path):
+    from simplesr_tpu.config.config_util import ConfigUtil
+
+    for _ in range(2):
+        cfg = ConfigUtil.training_config(
+            train_data_paths=str(tmp_path), num_epochs=1, batch_size=1, scale=2,
+            results_save_path=str(tmp_path))
+    link = tmp_path / "training" / "latest"
+    assert link.is_symlink()
+    assert (tmp_path / "training" / link.readlink()).resolve() == \
+        (tmp_path / "training" / cfg.save_dir_name).resolve()
