@@ -286,11 +286,13 @@ class ConfigUtil:
         filesystems without symlink support."""
         link = os.path.join(os.path.dirname(self.save_path), "latest")
         try:
-            if os.path.islink(link):
-                os.unlink(link)
-            elif os.path.exists(link):
+            if os.path.exists(link) and not os.path.islink(link):
                 return  # a real directory named "latest" — leave it alone
-            os.symlink(self.save_dir_name, link)
+            # atomic swap: create a temp symlink and rename it over "latest",
+            # so concurrent runs can't leave the link missing or stale
+            tmp = link + f".tmp{os.getpid()}"
+            os.symlink(self.save_dir_name, tmp)
+            os.replace(tmp, link)
         except OSError:
             pass
 

@@ -22,31 +22,26 @@ Sweep several alphas in one call (files get an `_a{alpha}` postfix):
 """
 
 import argparse
-import json
 import os
 
 import jax
 import numpy as np
 
-from flax import serialization as flax_ser
 from simplesr_tpu.train import serialization
-
-
-def _load_raw(path):
-    with open(path, "rb") as f:
-        payload = flax_ser.msgpack_restore(f.read())
-    return json.loads(payload["config"]), flax_ser.msgpack_restore(payload["variables"])
 
 
 def interpolate_models(psnr_path, gan_path, alpha):
     """Blend two saved models → (module_config, variables).
 
     The architecture configs must match (same topology — interpolation is
-    defined parameter-wise); non-float leaves (e.g. integer BN counters)
-    are taken from the GAN model.
+    defined parameter-wise). ALL float leaves are blended, including BN
+    `batch_stats` running means/variances (a linear mix of two valid
+    activation statistics — the convention torch ESRGAN interpolation also
+    uses); only non-float leaves (integer step counters) are taken from the
+    GAN model verbatim.
     """
-    cfg_a, var_a = _load_raw(psnr_path)
-    cfg_b, var_b = _load_raw(gan_path)
+    cfg_a, var_a = serialization.load_payload(psnr_path)
+    cfg_b, var_b = serialization.load_payload(gan_path)
     if cfg_a != cfg_b:
         raise ValueError(
             f"model architectures differ — psnr={cfg_a} gan={cfg_b}; "

@@ -16,14 +16,22 @@ Design, TPU-first:
   * images larger than the tile threshold stream through the overlap-tiled
     path (ops.tiled_apply), same as offline eval.
 
-Protocol (length-prefixed, one request per connection):
-  client → server: uint64 big-endian length + PNG/JPEG bytes
-  server → client: uint64 big-endian length + PNG bytes (SR image)
+Protocol (length-prefixed frames; the connection PERSISTS — send any number
+of requests over one socket, close to end the session; connection setup was
+the measured cost floor for small images under the 1-request/connection v1):
+  client → server: uint64 big-endian length + PNG/JPEG bytes   (repeat)
+  server → client: 1 status byte (0 = ok, 1 = error)
+                   + uint64 big-endian length
+                   + payload: PNG bytes (ok) | UTF-8 error message (error)
+A per-request failure (undecodable image, model error) is reported with
+status=1 and a human-readable message; the connection stays usable.
 
 Run:    python -m simplesr_tpu.tools.serve --model m.msgpack --scale 4 \
             --socket /tmp/sr.sock
 Client: python -m simplesr_tpu.tools.serve --client /tmp/sr.sock \
             in.png --output out/
+Library client (persistent connection): ``with SRClient(addr) as c:
+c.upscale_file(p) for p in paths``.
 """
 
 import argparse
@@ -53,13 +61,35 @@ def _read_exact(sock, n):
     return buf
 
 
-def _recv_blob(sock):
-    (n,) = _LEN.unpack(_read_exact(sock, _LEN.size))
+def _recv_blob(sock, allow_eof=False):
+    """Read one length-prefixed blob; with allow_eof, a clean close before
+    the first byte returns None (end of a persistent session)."""
+    first = sock.recv(1)
+    if not first:
+        if allow_eof:
+            return None
+        raise ConnectionError("peer closed mid-message")
+    (n,) = _LEN.unpack(first + _read_exact(sock, _LEN.size - 1))
     return _read_exact(sock, n)
 
 
 def _send_blob(sock, data):
     sock.sendall(_LEN.pack(len(data)) + data)
+
+
+STATUS_OK = b"\x00"
+STATUS_ERROR = b"\x01"
+
+
+def _send_reply(sock, status, payload):
+    sock.sendall(status + _LEN.pack(len(payload)) + payload)
+
+
+def _recv_reply(sock):
+    """→ (ok: bool, payload: bytes)."""
+    status = _read_exact(sock, 1)
+    (n,) = _LEN.unpack(_read_exact(sock, _LEN.size))
+    return status == STATUS_OK, _read_exact(sock, n)
 
 
 # ----------------------------------------------------------------- engine
@@ -268,19 +298,29 @@ def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
 
     class Handler(socketserver.BaseRequestHandler):
         def handle(self):
-            try:
-                blob = _recv_blob(self.request)
-                img = np.asarray(
-                    Image.open(io.BytesIO(blob)).convert("RGB"), np.uint8)
-                arr = engine.upscale_u8(img)  # (de)quantization on device
-                out = io.BytesIO()
-                Image.fromarray(arr).save(out, format="PNG")
-                _send_blob(self.request, out.getvalue())
-            except Exception:
+            # persistent session: serve requests until the client closes
+            while True:
                 try:
-                    _send_blob(self.request, b"")  # empty blob = error
+                    blob = _recv_blob(self.request, allow_eof=True)
+                except (ConnectionError, OSError):
+                    return
+                if blob is None:
+                    return  # clean close
+                try:
+                    img = np.asarray(
+                        Image.open(io.BytesIO(blob)).convert("RGB"), np.uint8)
+                    arr = engine.upscale_u8(img)  # (de)quantization on device
+                    out = io.BytesIO()
+                    Image.fromarray(arr).save(out, format="PNG")
+                    reply = (STATUS_OK, out.getvalue())
+                except Exception as e:  # report WHY; keep the session alive
+                    msg = f"{type(e).__name__}: {e}".encode(
+                        "utf-8", "replace")[:4096]
+                    reply = (STATUS_ERROR, msg)
+                try:
+                    _send_reply(self.request, *reply)
                 except OSError:
-                    pass
+                    return
 
     class ThreadingUnixServer(socketserver.ThreadingMixIn,
                               socketserver.UnixStreamServer):
@@ -316,24 +356,55 @@ def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
     return server
 
 
-def request_upscale(address, image_path):
-    """Client helper: send one image file, return decoded SR numpy uint8."""
-    from PIL import Image
+class SRError(RuntimeError):
+    """Server-reported per-request failure (carries the server's message)."""
 
-    if isinstance(address, tuple):
-        sock = socket.create_connection(address)
-    else:
-        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        sock.connect(address)
-    try:
+
+class SRClient:
+    """Persistent-connection client: one socket, many requests.
+
+    ``address`` is a Unix socket path or a (host, port) tuple. A server-side
+    per-request error raises SRError with the server's message; the
+    connection stays open for further requests."""
+
+    def __init__(self, address):
+        if isinstance(address, tuple):
+            self._sock = socket.create_connection(address)
+        else:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.connect(address)
+
+    def upscale_bytes(self, img_bytes):
+        """PNG/JPEG bytes → SR image as numpy uint8 HWC."""
+        from PIL import Image
+
+        _send_blob(self._sock, img_bytes)
+        ok, payload = _recv_reply(self._sock)
+        if not ok:
+            raise SRError(payload.decode("utf-8", "replace")
+                          or "server reported an error for this image")
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+    def upscale_file(self, image_path):
         with open(image_path, "rb") as f:
-            _send_blob(sock, f.read())
-        blob = _recv_blob(sock)
-    finally:
-        sock.close()
-    if not blob:
-        raise RuntimeError("server reported an error for this image")
-    return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+            return self.upscale_bytes(f.read())
+
+    def close(self):
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def request_upscale(address, image_path):
+    """One-shot helper: send one image file, return decoded SR numpy uint8.
+    For many images, hold an SRClient open instead — connection setup was
+    the measured small-image cost floor (docs/serving.md)."""
+    with SRClient(address) as client:
+        return client.upscale_file(image_path)
 
 
 def main(argv=None):
@@ -363,25 +434,41 @@ def main(argv=None):
             host, port = addr.rsplit(":", 1)
             addr = (host, int(port))
         os.makedirs(args.output, exist_ok=True)
-        for path in args.inputs:
-            arr = request_upscale(addr, path)
-            out = os.path.join(args.output, os.path.splitext(
-                os.path.basename(path))[0] + "_sr.png")
-            Image.fromarray(arr).save(out)
-            print(f"{path} -> {out} {arr.shape[1]}x{arr.shape[0]}")
-        return 0
+        rc = 0
+        with SRClient(addr) as client:  # one connection for the whole list
+            for path in args.inputs:
+                try:
+                    arr = client.upscale_file(path)
+                except SRError as e:
+                    print(f"{path}: server error: {e}")
+                    rc = 1
+                    continue
+                out = os.path.join(args.output, os.path.splitext(
+                    os.path.basename(path))[0] + "_sr.png")
+                Image.fromarray(arr).save(out)
+                print(f"{path} -> {out} {arr.shape[1]}x{arr.shape[0]}")
+        return rc
 
     if not args.model or not (args.socket or args.port):
         p.error("server mode needs --model and --socket/--port")
     warm = None
     if args.warm:
-        warm = tuple(tuple(int(d) for d in s.split("x"))
-                     for s in args.warm.split(","))
+        warm = []
+        for s in args.warm.split(","):
+            dims = s.split("x")
+            if len(dims) != 2 or not all(d.isdigit() and int(d) > 0
+                                         for d in dims):
+                p.error(f"--warm entries must be HxW (two positive ints), "
+                        f"got {s!r}")
+            warm.append((int(dims[0]), int(dims[1])))
+        warm = tuple(warm)
     mesh = None
-    if args.mesh_dp:
+    if args.mesh_dp is not None:
         import jax
         from simplesr_tpu.parallel import make_mesh
         avail = len(jax.devices())
+        if args.mesh_dp < 1:
+            p.error(f"--mesh-dp must be >= 1, got {args.mesh_dp}")
         if args.mesh_dp > avail:  # don't silently serve at lower parallelism
             p.error(f"--mesh-dp {args.mesh_dp} but only {avail} devices"
                     " are available")

@@ -30,11 +30,19 @@ def save_model(module_config: dict, variables, path):
         f.write(flax_ser.msgpack_serialize(payload))
 
 
-def load_model(path):
-    """Read a model file → (module, variables)."""
+def load_payload(path):
+    """Read a model file → (module_config_dict, variables) without building
+    the module — the raw payload layout in one place, so tools that blend or
+    inspect saved models (tools/interpolate.py) track format changes here."""
     with open(path, "rb") as f:
         payload = flax_ser.msgpack_restore(f.read())
     config = json.loads(payload["config"])
-    module = build_generator_model(**config)
     variables = flax_ser.msgpack_restore(payload["variables"])
+    return config, variables
+
+
+def load_model(path):
+    """Read a model file → (module, variables)."""
+    config, variables = load_payload(path)
+    module = build_generator_model(**config)
     return module, variables
