@@ -13,11 +13,13 @@ from simplesr_tpu.losses.adversarial import (
     RaDiscriminatorLoss,
 )
 from simplesr_tpu.losses.vgg_loss import VGGLoss, vgg_preprocess, total_variation
+from simplesr_tpu.losses.learned_perceptual import LearnedPerceptualLoss
 
 LOSS_REGISTRY = {
     "MeanSquaredError": MeanSquaredError,
     "MeanAbsoluteError": MeanAbsoluteError,
     "VGGLoss": VGGLoss,
+    "LearnedPerceptualLoss": LearnedPerceptualLoss,
     "AdversarialLoss": AdversarialLoss,
     "RaAdversarialLoss": RaAdversarialLoss,
     "DiscriminatorLoss": DiscriminatorLoss,
@@ -26,7 +28,8 @@ LOSS_REGISTRY = {
 
 __all__ = [
     "Loss", "adapt_generator_loss", "bce_from_probs", "bce_from_logits",
-    "MeanSquaredError", "MeanAbsoluteError", "VGGLoss", "AdversarialLoss",
+    "MeanSquaredError", "MeanAbsoluteError", "VGGLoss", "LearnedPerceptualLoss",
+    "AdversarialLoss",
     "RaAdversarialLoss", "DiscriminatorLoss", "RaDiscriminatorLoss",
     "LOSS_REGISTRY", "vgg_preprocess", "total_variation",
 ]

@@ -18,7 +18,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 
 from simplesr_tpu.losses.base import Loss
-from simplesr_tpu.models.vgg import VGGFeatures, load_vgg_weights_npz, init_vgg_params
+from simplesr_tpu.models.vgg import (VGGFeatures, default_vgg_weights_path,
+                                     init_vgg_params, load_vgg_weights_npz)
 
 # Keras caffe-mode ImageNet means, BGR order (vgg19.preprocess_input).
 _IMAGENET_MEAN_BGR = (103.939, 116.779, 123.68)
@@ -78,7 +79,18 @@ class VGGLoss(Loss):
                 raise ValueError("no custom weights path supplied")
             self._params = load_vgg_weights_npz(custom_weights_path, variant)
         else:
-            self._params = init_vgg_params(variant)
+            path = default_vgg_weights_path(variant)
+            if path is not None:
+                self._params = load_vgg_weights_npz(path, variant)
+            else:
+                import logging
+                logging.getLogger("simple_sr").warning(
+                    "VGGLoss: no ImageNet %s weights found (set "
+                    "SIMPLESR_VGG_WEIGHTS or drop %s.npz next to models/"
+                    "vgg.py) — falling back to RANDOM-init features. "
+                    "Perceptual loss values will not match the SRGAN/ESRGAN "
+                    "papers; see docs/README 'Weights note'.", variant, variant)
+                self._params = init_vgg_params(variant)
 
         self._module = VGGFeatures(
             variant=variant, output_layers=self.output_layers,

@@ -122,6 +122,25 @@ def export_torch_vgg_to_npz(out_path, variant: str = "vgg19"):
     np.savez(out_path, **arrays)
 
 
+def default_vgg_weights_path(variant: str = "vgg19"):
+    """Discover an ImageNet weights .npz without configuration: the
+    SIMPLESR_VGG_WEIGHTS env var (a file path), else `<variant>.npz` next to
+    this module. Returns None when nothing is found — the moment a weights
+    file appears (converted via export_keras_vgg_to_npz /
+    export_torch_vgg_to_npz on any machine with egress), VGGLoss and the
+    weights-gated parity tests pick it up with no code change."""
+    import os
+
+    env = os.environ.get("SIMPLESR_VGG_WEIGHTS")
+    if env and os.path.isfile(env):
+        return env
+    bundled = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"{variant}.npz")
+    if os.path.isfile(bundled):
+        return bundled
+    return None
+
+
 @functools.lru_cache(maxsize=4)
 def default_vgg_params_seed():
     return 171
