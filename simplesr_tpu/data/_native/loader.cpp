@@ -216,9 +216,12 @@ class Loader {
     return img;
   }
 
-  // Fill out[n, ph, pw, 3] float32 with crop windows, in parallel.
+  // Fill out[n, ph, pw, 3] with crop windows, in parallel. T is float
+  // (converted) or uint8_t (straight row memcpy — the cheaper carrier for
+  // host→device transfer: 1 byte/channel instead of 4).
+  template <typename T>
   int load_crops(const char** paths, const int* tops, const int* lefts, int n,
-                 int ph, int pw, float* out) {
+                 int ph, int pw, T* out) {
     std::atomic<int> failures{0};
     std::atomic<int> remaining{n};
     std::mutex done_mu;
@@ -226,7 +229,7 @@ class Loader {
     for (int i = 0; i < n; ++i) {
       std::string path = paths[i];
       int top = tops[i], left = lefts[i];
-      float* dst = out + static_cast<size_t>(i) * ph * pw * 3;
+      T* dst = out + static_cast<size_t>(i) * ph * pw * 3;
       pool_.submit([this, path, top, left, ph, pw, dst, &failures, &remaining,
                     &done_mu, &done_cv] {
         auto img = get(path);
@@ -237,8 +240,8 @@ class Loader {
           for (int y = 0; y < ph; ++y) {
             const uint8_t* src = img->rgb.data() +
                 (static_cast<size_t>(top + y) * img->w + left) * 3;
-            float* row = dst + static_cast<size_t>(y) * pw * 3;
-            for (int x = 0; x < pw * 3; ++x) row[x] = static_cast<float>(src[x]);
+            T* row = dst + static_cast<size_t>(y) * pw * 3;
+            copy_row(src, row, pw * 3);
           }
         }
         if (remaining.fetch_sub(1) == 1) {
@@ -260,16 +263,23 @@ class Loader {
     return 0;
   }
 
-  // Decode a whole image into out[h*w*3] float32.
-  int load_image(const char* path, float* out) {
+  // Decode a whole image into out[h*w*3] (float32 or uint8).
+  template <typename T>
+  int load_image(const char* path, T* out) {
     auto img = get(path);
     if (!img) return 1;
-    const size_t n = img->rgb.size();
-    for (size_t i = 0; i < n; ++i) out[i] = static_cast<float>(img->rgb[i]);
+    copy_row(img->rgb.data(), out, img->rgb.size());
     return 0;
   }
 
  private:
+  static void copy_row(const uint8_t* src, float* dst, size_t n) {
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<float>(src[i]);
+  }
+  static void copy_row(const uint8_t* src, uint8_t* dst, size_t n) {
+    std::memcpy(dst, src, n);
+  }
+
   ThreadPool pool_;
   size_t cache_limit_;
   size_t cache_bytes_ = 0;
@@ -301,6 +311,16 @@ int ssr_load_image(void* loader, const char* path, float* out) {
 
 int ssr_load_crops(void* loader, const char** paths, const int* tops,
                    const int* lefts, int n, int ph, int pw, float* out) {
+  return static_cast<Loader*>(loader)->load_crops(paths, tops, lefts, n, ph,
+                                                  pw, out);
+}
+
+int ssr_load_image_u8(void* loader, const char* path, uint8_t* out) {
+  return static_cast<Loader*>(loader)->load_image(path, out);
+}
+
+int ssr_load_crops_u8(void* loader, const char** paths, const int* tops,
+                      const int* lefts, int n, int ph, int pw, uint8_t* out) {
   return static_cast<Loader*>(loader)->load_crops(paths, tops, lefts, n, ph,
                                                   pw, out);
 }

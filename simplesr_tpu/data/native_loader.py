@@ -48,6 +48,15 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float)]
+    lib.ssr_load_image_u8.restype = ctypes.c_int
+    lib.ssr_load_image_u8.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_uint8)]
+    lib.ssr_load_crops_u8.restype = ctypes.c_int
+    lib.ssr_load_crops_u8.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
     return lib
 
 
@@ -92,20 +101,42 @@ class NativeLoader:
             raise IOError(f"could not decode {path}")
         return out
 
-    def load_crops(self, paths, tops, lefts, patch_h, patch_w):
-        """Fill an (n, ph, pw, 3) float32 batch of crop windows, decoding and
-        slicing in parallel in C++."""
+    def load_image_u8(self, path):
+        """Whole image as uint8 (pure memcpy out of the decode cache — the
+        cheap carrier for host→device transfer)."""
+        h, w = self.image_size(path)
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.ssr_load_image_u8(
+            self._handle, str(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise IOError(f"could not decode {path}")
+        return out
+
+    def load_crops(self, paths, tops, lefts, patch_h, patch_w, dtype=np.float32):
+        """Fill an (n, ph, pw, 3) batch of crop windows, decoding and
+        slicing in parallel in C++. dtype float32 (converted) or uint8
+        (row memcpy)."""
         n = len(paths)
-        out = np.empty((n, patch_h, patch_w, 3), np.float32)
         c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
         c_tops = np.ascontiguousarray(tops, np.int32)
         c_lefts = np.ascontiguousarray(lefts, np.int32)
-        failures = self._lib.ssr_load_crops(
-            self._handle, c_paths,
-            c_tops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            c_lefts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            n, patch_h, patch_w,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if dtype == np.uint8:
+            out = np.empty((n, patch_h, patch_w, 3), np.uint8)
+            failures = self._lib.ssr_load_crops_u8(
+                self._handle, c_paths,
+                c_tops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                c_lefts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                n, patch_h, patch_w,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        else:
+            out = np.empty((n, patch_h, patch_w, 3), np.float32)
+            failures = self._lib.ssr_load_crops(
+                self._handle, c_paths,
+                c_tops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                c_lefts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                n, patch_h, patch_w,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if failures:
             raise IOError(f"{failures}/{n} crop loads failed")
         return out

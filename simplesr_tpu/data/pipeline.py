@@ -19,7 +19,12 @@ host only decodes PNGs once into a RAM cache and slices crop windows (pure
 numpy views); everything per-pixel — augmentation, normalization, the
 polyphase bicubic downscale (two MXU matmuls) and the DCT JPEG degrade — runs
 as ONE jitted device function per batch with static shapes. Batches are
-dispatched ahead (async) so the device never waits on the host. Differences
+dispatched ahead (async) so the device never waits on the host. Host batches
+travel to the device as UINT8 (1 byte/channel; normalization happens inside
+the jitted prep), so PCIe/tunnel transfer carries 4× less than the
+reference's float32 tf.data output. Host assembly fans out over
+``num_workers`` threads with per-file deterministic crop RNG streams — the
+produced batches are identical for any worker count. Differences
 from the reference, on purpose:
   * the shuffle is a true global epoch shuffle of (image, crop, augmentation)
     work items, not a 4096-element window (strictly better mixing;
@@ -57,6 +62,14 @@ def read_img(fpath, normalize_func=None, yield_path=False):
     if yield_path:
         return img, fpath
     return img
+
+
+def _read_img_u8(fpath):
+    """Decode an image file to uint8 HWC (PIL fallback for the pipeline's
+    internal cache; `read_img` keeps the reference's float32 contract)."""
+    from PIL import Image
+
+    return np.asarray(Image.open(fpath).convert("RGB"), dtype=np.uint8)
 
 
 def _list_images(path):
@@ -104,7 +117,8 @@ class DataPipeline:
                  jpg_noise_level=50,
                  shard_by_process=False,
                  drop_remainder=False,
-                 use_native=True):
+                 use_native=True,
+                 num_workers=None):
         self.scale = int(scale)
         self.data_path = None if hr_img_path is None else (
             hr_img_path if isinstance(hr_img_path, list) else [hr_img_path])
@@ -138,6 +152,10 @@ class DataPipeline:
         self.train_val_split = train_val_split
         self.validationset_size = train_val_split
 
+        # host assembly fan-out (decode+crop+stack); per-file RNG streams
+        # keep the produced batches identical for ANY worker count
+        self.num_workers = int(num_workers) if num_workers else \
+            max(1, min(4, os.cpu_count() or 1))
         self._rng = np.random.default_rng(random_seed)
         # device-side randomness (augmentation choices, jpeg dither) draws
         # from one deterministic key stream rooted at random_seed
@@ -204,15 +222,18 @@ class DataPipeline:
     # ------------------------------------------------------------- decode
 
     def _decoded(self, path):
+        """Decode (once) to the uint8 RAM cache — 4× less host memory and
+        host→device traffic than a float32 cache; values are identical
+        (PNG/JPEG decode natively to 8-bit)."""
         img = self._decode_cache.get(path)
         if img is None:
             if self._native is not None:
                 try:
-                    img = self._native.load_image(path)
+                    img = self._native.load_image_u8(path)
                 except IOError:  # format libpng/libjpeg can't handle
-                    img = read_img(path)
+                    img = _read_img_u8(path)
             else:
-                img = read_img(path)
+                img = _read_img_u8(path)
             self._decode_cache[path] = img
         return img
 
@@ -248,7 +269,8 @@ class DataPipeline:
                         f"patch {ph}x{pw} larger than image {h}x{w} ({path})")
                 tops = rng.integers(0, h - ph + 1, size=n).astype(np.int32)
                 lefts = rng.integers(0, w - pw + 1, size=n).astype(np.int32)
-                return list(self._native.load_crops([path] * n, tops, lefts, ph, pw))
+                return list(self._native.load_crops([path] * n, tops, lefts,
+                                                    ph, pw, dtype=np.uint8))
             except IOError:
                 pass  # fall through to the PIL/numpy path
         img = self._decoded(path)
@@ -264,11 +286,11 @@ class DataPipeline:
         tops = rng.integers(0, h - ph + 1, size=k)
         lefts = rng.integers(0, w - pw + 1, size=k)
         cands = np.stack([img[t:t + ph, l:l + pw] for t, l in zip(tops, lefts)])
-        stds = cands.reshape(k, -1).std(axis=1)
+        stds = cands.reshape(k, -1).astype(np.float32).std(axis=1)
         passing = np.flatnonzero(stds > self.minimum_variation_patch)
         order = list(passing) + list(np.argsort(-stds)[~np.isin(np.argsort(-stds), passing)])
         pick = order[:n]
-        means = cands.reshape(k, -1).mean(axis=1)
+        means = cands.reshape(k, -1).astype(np.float32).mean(axis=1)
         if np.std(means[pick]) < self.minimum_variation_batch:
             # both-tails re-rank (see ops/crop.py diverse_crops): lowest and
             # highest passing means maximize the selection's mean spread
@@ -303,7 +325,10 @@ class DataPipeline:
             return jax.lax.switch(aug_id, branches, key, img)
 
         def prep(hr_crops, aug_ids, key):
-            # hr_crops: (B, H, W, 3) float32 in [0, 255]
+            # hr_crops: (B, H, W, 3) in [0, 255] — uint8 from the pipeline's
+            # host cache (the cheap transfer carrier) or float32 from
+            # external callers; normalized on device either way
+            hr_crops = jnp.asarray(hr_crops, jnp.float32)
             keys = jax.random.split(key, hr_crops.shape[0])
             if aug_fns:
                 hr = jax.vmap(_augment_one)(aug_ids, keys, hr_crops)
@@ -329,6 +354,8 @@ class DataPipeline:
         return items
 
     def _iter_batches(self, files, shuffle, with_augs, drop_remainder=False):
+        import threading
+
         rng = np.random.default_rng(self._rng.integers(0, 2**31 - 1))
         items = self._work_items(files, rng, with_augs)
         if shuffle:
@@ -336,21 +363,36 @@ class DataPipeline:
         ph, pw = self.crop_size[0], self.crop_size[1]
         bs = self.batch_size
 
-        # Pre-slice crops per (file, crop index) so the fan-out reuses them.
+        # Per-file crop RNG streams, seeded in a scheduling-independent order
+        # (sorted file list) so any worker count produces identical batches.
+        file_seeds = {f: int(rng.integers(0, 2**31 - 1))
+                      for f in sorted({f for f, _, _ in items})}
+
+        # Pre-slice crops per (file, crop index) so the fan-out reuses them;
+        # per-file locks keep concurrent workers from duplicating the slice.
         crop_bank = {}
+        bank_guard = threading.Lock()
+        bank_locks = {}
 
         def _crop_for(f, c):
             if not self.crop:
                 return self._decoded(f)
             bank = crop_bank.get(f)
             if bank is None:
-                bank = self._host_crops(f, rng)
-                crop_bank[f] = bank
+                with bank_guard:
+                    lock = bank_locks.setdefault(f, threading.Lock())
+                with lock:
+                    bank = crop_bank.get(f)
+                    if bank is None:
+                        bank = self._host_crops(
+                            f, np.random.default_rng(file_seeds[f]))
+                        crop_bank[f] = bank
             return bank[c]
 
         def _assemble(chunk):
-            """Host side of one batch: decode/crop/stack (runs on the
-            prefetch worker; deterministic because the worker is single)."""
+            """Host side of one batch: decode/crop/stack (runs on a prefetch
+            worker; deterministic regardless of worker scheduling thanks to
+            the per-file RNG streams)."""
             crops = [_crop_for(f, c) for f, c, _ in chunk]
             shapes = {x.shape for x in crops}
             if len(shapes) > 1:
@@ -363,18 +405,20 @@ class DataPipeline:
         if drop_remainder and chunks and len(chunks[-1]) < bs:
             chunks.pop()
 
-        # Two-level pipelining: a single worker thread assembles host batches
-        # ahead (decode + crop + stack — the CPU-bound part), while the main
-        # thread keeps up to 2 prepared batches in flight on device.
+        # Two-level pipelining: num_workers threads assemble host batches
+        # ahead (decode + crop + stack — the CPU-bound part; results are
+        # consumed strictly in order), while the main thread keeps up to 2
+        # prepared batches in flight on device.
         from concurrent.futures import ThreadPoolExecutor
+        depth = max(2, 2 * self.num_workers)
         pending = []  # async-dispatched device batches
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             futures = [pool.submit(_assemble, chunks[i])
-                       for i in range(min(2, len(chunks)))]
+                       for i in range(min(depth, len(chunks)))]
             for i, chunk in enumerate(chunks):
                 kind, a, b = futures[i].result()
-                if i + 2 < len(chunks):
-                    futures.append(pool.submit(_assemble, chunks[i + 2]))
+                if i + depth < len(chunks):
+                    futures.append(pool.submit(_assemble, chunks[i + depth]))
                 if kind == "hetero":
                     # whole-image mode with heterogeneous sizes → per-image
                     for (f, c, aug), x in zip(a, b):
@@ -416,7 +460,7 @@ class DataPipeline:
         def _gen():
             batch, paths = [], []
             for f in self.test_imgs:
-                img = self._decoded(f) / 255.0
+                img = self._decoded(f).astype(np.float32) / 255.0
                 if batch and img.shape != batch[0].shape:
                     yield jnp.asarray(np.stack(batch)), list(paths)
                     batch, paths = [], []
@@ -488,6 +532,7 @@ class DataPipeline:
             minimum_variation_batch=config.minimum_variation_batch,
             # data-parallel runs need mesh-divisible batches
             drop_remainder=getattr(config, "data_parallel", False),
+            num_workers=getattr(config, "num_workers", None),
         )
 
     @staticmethod

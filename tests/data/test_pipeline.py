@@ -159,3 +159,33 @@ def test_hetero_whole_image_training(tmp_path):
     assert n_imgs == 3 and shapes == {(12, 16), (16, 12)}
     loss = model.generator_wrapper().epoch_metrics(train=True)["generator_loss"].result()
     assert np.isfinite(loss)
+
+
+def test_worker_count_invariance():
+    """The multi-worker host assembly must produce batches identical to the
+    single-worker pipeline for the same seed (per-file RNG streams make the
+    crop draws scheduling-independent)."""
+    augs = ["flip_along_x"]
+    a = _pipeline(augmentations=augs, num_workers=1)
+    b = _pipeline(augmentations=augs, num_workers=4)
+    batches_a = [(np.asarray(lr), np.asarray(hr))
+                 for lr, hr in a.train_batch_generator()]
+    batches_b = [(np.asarray(lr), np.asarray(hr))
+                 for lr, hr in b.train_batch_generator()]
+    assert len(batches_a) == len(batches_b) > 0
+    for (lr_a, hr_a), (lr_b, hr_b) in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(lr_a, lr_b)
+        np.testing.assert_array_equal(hr_a, hr_b)
+
+
+def test_uint8_host_carrier():
+    """Host-side decode cache and crop bank are uint8 (the 1-byte/channel
+    device transfer carrier); device batches still come out normalized
+    float32."""
+    p = _pipeline()
+    path = p.train_imgs[0]
+    assert p._decoded(path).dtype == np.uint8
+    crops = p._host_crops(path, np.random.default_rng(0))
+    assert all(c.dtype == np.uint8 for c in crops)
+    lr, hr = next(iter(p.train_batch_generator()))
+    assert lr.dtype == jnp.float32 and hr.dtype == jnp.float32
