@@ -131,9 +131,9 @@ def test_engine_mesh_serving_matches_single_device(model_file, rng):
 
 
 def test_server_survives_malformed_request(model_file, rng, tmp_path):
-    """A garbage blob must error that one request (empty-blob reply) and
-    leave the daemon serving."""
-    import socket as socket_mod
+    """A garbage blob must error that one request with a status=1 reply
+    carrying a diagnostic message, leave the SAME connection usable (v2
+    persistent protocol), and leave the daemon serving."""
     from PIL import Image
     from simplesr_tpu.tools import serve as serve_mod
 
@@ -147,19 +147,53 @@ def test_server_survives_malformed_request(model_file, rng, tmp_path):
     server.start()
     assert ready.wait(timeout=120)
     try:
-        # malformed: not an image
-        s = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
-        s.connect(sock_path)
-        serve_mod._send_blob(s, b"this is not a PNG")
-        assert serve_mod._recv_blob(s) == b""  # error signalled, no crash
-        s.close()
-
-        # the daemon still serves real requests afterwards
         img_path = str(tmp_path / "ok.png")
         Image.fromarray(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
                         ).save(img_path)
+        with serve_mod.SRClient(sock_path) as client:
+            # malformed: not an image → SRError with the server's reason
+            with pytest.raises(serve_mod.SRError) as exc:
+                client.upscale_bytes(b"this is not a PNG")
+            assert "Error" in str(exc.value) or "error" in str(exc.value)
+            # the SAME connection still serves real requests afterwards
+            out = client.upscale_file(img_path)
+            assert out.shape == (32, 32, 3)
+
+        # and fresh connections work too
         out = serve_mod.request_upscale(sock_path, img_path)
         assert out.shape == (32, 32, 3)
+    finally:
+        stop.set()
+        server.join(timeout=30)
+
+
+def test_persistent_connection_many_requests(model_file, rng, tmp_path):
+    """v2 protocol: many requests ride one socket; outputs match the
+    one-shot path byte-for-byte."""
+    from PIL import Image
+    from simplesr_tpu.tools import serve as serve_mod
+
+    sock_path = str(tmp_path / "sr.sock")
+    ready, stop = threading.Event(), threading.Event()
+    server = threading.Thread(
+        target=serve_mod.serve,
+        kwargs=dict(model_path=model_file, scale=2, socket_path=sock_path,
+                    ready_event=ready, stop_event=stop, max_wait_ms=1),
+        daemon=True)
+    server.start()
+    assert ready.wait(timeout=120)
+    try:
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"in{i}.png")
+            Image.fromarray(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+                            ).save(p)
+            paths.append(p)
+        with serve_mod.SRClient(sock_path) as client:
+            outs = [client.upscale_file(p) for p in paths]
+        for p, out in zip(paths, outs):
+            np.testing.assert_array_equal(
+                out, serve_mod.request_upscale(sock_path, p))
     finally:
         stop.set()
         server.join(timeout=30)
