@@ -1,35 +1,42 @@
 """Benchmark: ×4 super-resolution megapixels/second on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Metric: output megapixels per second for SRResNet ×4 inference (bf16 compute,
-batch 16 × 128×128 LR → 512×512 SR), steady state.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"extra_metrics": {...}}. The headline metric is SRResNet ×4 inference
+output MPix/s; `extra_metrics` carries the rest of the driver-visible
+story in the same line: fused-train-step throughput, END-TO-END training
+throughput with the real DataPipeline feeding the step (host decode/crop →
+uint8 upload → device prep → train step), and the lane-filled model
+variants (SRResNet-128, wide RRDB).
 
 Methodology note: the axon TPU tunnel makes `block_until_ready` unreliable
 (dispatch is acknowledged before execution) and adds ~80 ms per host round
 trip, so per-call wall timing is meaningless. Instead N forwards are chained
 *inside one jit* via `lax.fori_loop` (each iteration consumes the previous
 output, so nothing can be elided) and completion is forced by fetching the
-scalar result; one dispatch latency amortizes over N iterations. Calibration:
-the same harness measures 165 TFLOP/s on chained 8192³ bf16 matmuls — ~84 %
-of v5e peak — confirming the clock.
+scalar result; one dispatch latency amortizes over N iterations. Training
+steps chain naturally (each consumes the previous optimizer state).
+Calibration: the same harness measures 165 TFLOP/s on chained 8192³ bf16
+matmuls — ~84 % of v5e peak — confirming the clock.
 
-`vs_baseline` compares against REFERENCE_MPIX_S_GPU_ESTIMATE — an ESTIMATE of
-the TF2 reference's throughput on its CUDA-10.1-era single GPU (the reference
-publishes no numbers, BASELINE.md; ~5 MPix/s is generous for fp32 SRResNet ×4
-on a 2080-class card). The JSON labels it as an estimate and also reports the
-honest MEASURED floor: the reference's own code (unmodified, legacy-Keras)
-benchmarked on this host's CPU by scripts/measure_reference_floor.py —
-0.154 MPix/s. North-star target is ≥5× the estimate (BASELINE.json).
+`vs_baseline` is the multiplier over the MEASURED floor: the reference's own
+code (unmodified TF2, legacy Keras), benchmarked on this host by
+scripts/measure_reference_floor.py — 0.154 MPix/s (CPU; the only hardware
+the reference can use in this environment). The reference publishes no GPU
+numbers (BASELINE.md); a generous ~5 MPix/s estimate for its CUDA-10.1-era
+single GPU is reported as the clearly-secondary `vs_gpu_estimate` field.
+North-star target (BASELINE.json): ≥5× that estimate, training AND
+inference.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_MPIX_S_GPU_ESTIMATE = 5.0    # NOT a measurement — see docstring
-REFERENCE_MPIX_S_CPU_MEASURED = 0.154  # scripts/measure_reference_floor.py
+REFERENCE_MPIX_S_CPU_MEASURED = 0.154        # scripts/measure_reference_floor.py
+REFERENCE_TRAIN_MPIX_S_CPU_MEASURED = 0.014  # …measure_reference_floor.py --train
+REFERENCE_MPIX_S_GPU_ESTIMATE = 5.0          # NOT a measurement — see docstring
 
 BATCH = 16  # throughput saturates at ≥16 on v5e (52→81 MPix/s from 8→16)
 LR_HW = 128
@@ -75,16 +82,20 @@ def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
 
 
 def measure_rrdb_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE,
-                                  chain=10, mode="up"):
+                                  chain=10, mode="up", num_filters=64,
+                                  num_rrdb_blocks=16, growth_channels=None):
     """RRDB/ESRGAN generator inference; mode: none|up|2phase|full
-    (models/polyphase.py RRDBNetPolyphase variants)."""
+    (models/polyphase.py RRDBNetPolyphase variants). num_filters=128 is the
+    lane-filled wide variant (dense convs at 64ch — docs/performance.md)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
     from simplesr_tpu.models import RRDBNet
     from simplesr_tpu.models.polyphase import rrdb_polyphase_model
 
-    model = RRDBNet(upsample_factor=scale)
+    model = RRDBNet(upsample_factor=scale, num_filters=num_filters,
+                    num_rrdb_blocks=num_rrdb_blocks,
+                    growth_channels=growth_channels)
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.uniform(0, 1, (batch, lr_hw, lr_hw, 3)), jnp.float32)
     variables = model.init(jax.random.key(0), lr[:1])
@@ -109,15 +120,7 @@ def measure_rrdb_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE,
     return best
 
 
-def measure_train_ms_per_step(steps=30):
-    """SRResNet ×4 fused train step, batch 16 × 96² crops (paper config)."""
-    import tempfile
-    import jax
-    import jax.numpy as jnp
-    from simplesr_tpu.train import Generator, SRModel
-
-    tmp = tempfile.mkdtemp()
-
+def _train_cfg(tmp):
     class Cfg:
         model_dir = tmp + "/m"
         checkpoint_dir = tmp + "/c"
@@ -127,22 +130,39 @@ def measure_train_ms_per_step(steps=30):
         batch_train_summary_writer = None
         epoch_validation_summary_writer = None
         batch_validation_summary_writer = None
+    return Cfg
+
+
+def _srresnet_train_model(tmp, crop=96, scale=SCALE):
+    from simplesr_tpu.train import Generator, SRModel
+
+    gen = Generator.srresnet(upsample_factor=scale,
+                             input_dims=(crop // scale, crop // scale))
+    return SRModel(model_type="resnet", generator=gen,
+                   generator_optimizer="Adam",
+                   generator_optimizer_config={"learning_rate": 1e-4},
+                   config=_train_cfg(tmp))
+
+
+def measure_train_ms_per_step(steps=30, crop=96, scale=SCALE):
+    """SRResNet ×4 fused train step, batch 16 × 96² HR crops (paper config).
+    Steps chain through the optimizer state, so N steps time as one queue."""
+    import tempfile
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    gen = Generator.srresnet(upsample_factor=4, input_dims=(24, 24))
-    model = SRModel(model_type="resnet", generator=gen,
-                    generator_optimizer="Adam",
-                    generator_optimizer_config={"learning_rate": 1e-4},
-                    config=Cfg)
-    lr = jnp.asarray(rng.uniform(0, 1, (16, 24, 24, 3)), jnp.float32)
-    hr = jnp.asarray(rng.uniform(-1, 1, (16, 96, 96, 3)), jnp.float32)
+    model = _srresnet_train_model(tempfile.mkdtemp(), crop, scale)
+    lr = jnp.asarray(rng.uniform(0, 1, (16, crop // scale, crop // scale, 3)),
+                     jnp.float32)
+    hr = jnp.asarray(rng.uniform(-1, 1, (16, crop, crop, 3)), jnp.float32)
     model.before_epoch()
     model.train_step(lr, hr)
 
     def fence():
         import jax as _jax
-        return float(jnp.sum(_jax.tree_util.tree_leaves(
-            model.state.g_params)[0].astype(jnp.float32)))
+        import jax.numpy as _jnp
+        return float(_jnp.sum(_jax.tree_util.tree_leaves(
+            model.state.g_params)[0].astype(_jnp.float32)))
 
     fence()
     best = float("inf")
@@ -154,6 +174,129 @@ def measure_train_ms_per_step(steps=30):
         fence()
         best = min(best, (time.perf_counter() - t0) / steps)
     return best * 1000.0
+
+
+def measure_train_e2e_mpix_s(epochs=2, crop=96, scale=SCALE):
+    """END-TO-END training throughput: the real DataPipeline (host decode →
+    C++ crop server → uint8 upload → jitted device prep) feeding the fused
+    train step, exactly the reference's hot loop
+    (/root/reference/simple_sr/operations/training.py:46-49). Returns
+    (e2e HR MPix/s, device-only HR MPix/s, host assembly-only MPix/s).
+
+    First epoch warms the decode cache and compiles; later epochs measured.
+    """
+    import tempfile
+    import jax
+    from simplesr_tpu.data import DataPipeline
+
+    corpus = [
+        "/root/reference/data/datasets/div2k/4/0004.png",
+        "/root/reference/data/datasets/div2k/8/0006.png",
+        "/root/reference/tests/data/lena.png",
+    ]
+    tmp = tempfile.mkdtemp()
+    img_dir = os.path.join(tmp, "imgs")
+    os.makedirs(img_dir)
+    for i, src in enumerate(corpus):
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(img_dir, f"{i}.png"))
+
+    pipe = DataPipeline(
+        hr_img_path=img_dir, scale=scale, batch_size=16,
+        crop_size=(crop, crop, 3), num_crops=24, train_val_split=0.0,
+        augmentations=["flip_along_x", "flip_along_y", "rotate90"],
+        random_seed=0, drop_remainder=True)
+    model = _srresnet_train_model(tmp, crop, scale)
+
+    def one_epoch():
+        model.before_epoch()
+        n = 0
+        for lr_b, hr_b in pipe.train_batch_generator():
+            model.train_step(lr_b, hr_b)
+            model.after_train_batch()
+            n += int(lr_b.shape[0])
+        # fence: fetch a param scalar so timing includes execution
+        jax.block_until_ready(model.state.g_params)
+        float(np.asarray(jax.tree_util.tree_leaves(
+            model.state.g_params)[0]).ravel()[0])
+        return n
+
+    one_epoch()  # warm: decode cache, jit compiles
+    best = 0.0
+    n_imgs = 0
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        n_imgs = one_epoch()
+        dt = time.perf_counter() - t0
+        best = max(best, n_imgs * crop * crop / 1e6 / dt)
+
+    # device-only floor for the ratio: same step, host-resident batch
+    ms = measure_train_ms_per_step(steps=20, crop=crop, scale=scale)
+    device_mpix = 16 * crop * crop / 1e6 / (ms / 1000.0)
+
+    # host-assembly-only rate (no device work): how fast the pipeline can
+    # produce batches if the device were infinitely fast
+    t0 = time.perf_counter()
+    n = sum(int(lr_b.shape[0]) for lr_b, _ in pipe.train_batch_generator())
+    host_mpix = n * crop * crop / 1e6 / (time.perf_counter() - t0)
+    return best, device_mpix, host_mpix
+
+
+def collect_default():
+    """The driver's one-line record: headline inference + extras."""
+    mpix = measure_inference_mpix_s()
+    extras = {}
+    try:
+        ms = measure_train_ms_per_step()
+        extras["srresnet_x4_train_ms_per_step_b16"] = round(ms, 2)
+        train_mpix = 16 * 96 * 96 / 1e6 / (ms / 1000.0)
+        extras["srresnet_x4_train_device_mpix_per_s"] = round(train_mpix, 2)
+        extras["train_vs_reference_cpu_floor"] = round(
+            train_mpix / REFERENCE_TRAIN_MPIX_S_CPU_MEASURED, 1)
+    except Exception as e:
+        extras["train_step_error"] = f"{type(e).__name__}: {e}"
+    try:
+        e2e, device, host = measure_train_e2e_mpix_s()
+        extras["srresnet_x4_train_e2e_mpix_per_s"] = round(e2e, 2)
+        extras["train_e2e_over_device_ratio"] = round(e2e / device, 3)
+        extras["train_host_assembly_mpix_per_s"] = round(host, 2)
+    except Exception as e:
+        extras["train_e2e_error"] = f"{type(e).__name__}: {e}"
+    try:
+        extras["srresnet128_x4_inference_mpix_per_s"] = round(
+            measure_inference_mpix_s(num_filters=128, chain=10), 2)
+    except Exception as e:
+        extras["srresnet128_error"] = f"{type(e).__name__}: {e}"
+    try:
+        extras["rrdb_x4_inference_mpix_per_s"] = round(
+            measure_rrdb_inference_mpix_s(mode="up"), 2)
+        # wide RRDB: nf=128 trunk, growth=128 dense convs (full MXU lane
+        # fill — the conv OUTPUT channel count is the lane dimension),
+        # 2 blocks. Slightly MORE FLOPs than the 16-block nf=64 baseline
+        # (13.3M vs 11.5M MACs/LR px) yet 2.3× the throughput; the measured
+        # winner of the growth/blocks sweep (docs/performance.md).
+        extras["rrdb_wide128g128_b2_x4_inference_mpix_per_s"] = round(
+            measure_rrdb_inference_mpix_s(mode="up", num_filters=128,
+                                          num_rrdb_blocks=2,
+                                          growth_channels=128), 2)
+    except Exception as e:
+        extras["rrdb_error"] = f"{type(e).__name__}: {e}"
+    return {
+        "metric": "srresnet_x4_inference_output_mpix_per_s",
+        "value": round(mpix, 2),
+        "unit": "MPix/s/chip",
+        # the honest multiplier: vs the reference's own code MEASURED on the
+        # only hardware it can use here (scripts/measure_reference_floor.py)
+        "vs_baseline": round(mpix / REFERENCE_MPIX_S_CPU_MEASURED, 1),
+        "baseline_note": {
+            "baseline_is": "measured reference floor (its own TF2 code, "
+                           "this host CPU)",
+            "reference_cpu_measured_floor_mpix_s": REFERENCE_MPIX_S_CPU_MEASURED,
+            "reference_gpu_mpix_s_ESTIMATE": REFERENCE_MPIX_S_GPU_ESTIMATE,
+            "vs_gpu_estimate": round(mpix / REFERENCE_MPIX_S_GPU_ESTIMATE, 2),
+        },
+        "extra_metrics": extras,
+    }
 
 
 def main(argv=None):
@@ -168,52 +311,68 @@ def main(argv=None):
             "vs_baseline": None,
         }))
         return
+    if "--train-e2e" in argv:
+        e2e, device, host = measure_train_e2e_mpix_s()
+        print(json.dumps({
+            "metric": "srresnet_x4_train_e2e_mpix_per_s_b16",
+            "value": round(e2e, 2),
+            "unit": "MPix/s/chip",
+            "vs_baseline": None,
+            "note": {"device_only_mpix_per_s": round(device, 2),
+                     "host_assembly_mpix_per_s": round(host, 2),
+                     "e2e_over_device_ratio": round(e2e / device, 3)},
+        }))
+        return
     if "--rrdb" in argv:
         mode = argv[argv.index("--rrdb") + 1] if \
             len(argv) > argv.index("--rrdb") + 1 else "up"
         if mode not in ("none", "up", "2phase", "full"):
             raise SystemExit(f"--rrdb mode must be none|up|2phase|full, "
                              f"got {mode!r}")
-        mpix = measure_rrdb_inference_mpix_s(mode=mode)
+        nf = 64
+        blocks = 16
+        if "--filters" in argv:
+            nf = int(argv[argv.index("--filters") + 1])
+        if "--blocks" in argv:
+            blocks = int(argv[argv.index("--blocks") + 1])
+        mpix = measure_rrdb_inference_mpix_s(mode=mode, num_filters=nf,
+                                             num_rrdb_blocks=blocks)
         print(json.dumps({
-            "metric": f"rrdb_x4_inference_output_mpix_per_s_{mode}",
+            "metric": f"rrdb_x4_f{nf}_b{blocks}_inference_output_mpix"
+                      f"_per_s_{mode}",
             "value": round(mpix, 2),
             "unit": "MPix/s/chip",
             "vs_baseline": None,
         }))
         return
-    num_filters = 64
     if "--filters" in argv:
         # docs/performance.md roofline: C=64 half-fills the 128-lane MXU;
         # --filters 128 measures the lane-filling model variant
         num_filters = int(argv[argv.index("--filters") + 1])
-    polyphase = "--no-poly" not in argv
-    mpix_per_s = measure_inference_mpix_s(num_filters=num_filters,
-                                          polyphase=polyphase)
-    if num_filters != 64:
+        polyphase = "--no-poly" not in argv
+        mpix = measure_inference_mpix_s(num_filters=num_filters,
+                                        polyphase=polyphase)
         tail = "poly" if polyphase else "trainform"
         print(json.dumps({
             "metric": f"srresnet_x4_f{num_filters}_{tail}"
                       "_inference_output_mpix_per_s",
-            "value": round(mpix_per_s, 2),
+            "value": round(mpix, 2),
             "unit": "MPix/s/chip",
             "vs_baseline": None,
             "note": "model-variant measurement (not the parity architecture)",
         }))
         return
-    print(json.dumps({
-        "metric": "srresnet_x4_inference_output_mpix_per_s",
-        "value": round(mpix_per_s, 2),
-        "unit": "MPix/s/chip",
-        "vs_baseline": round(mpix_per_s / REFERENCE_MPIX_S_GPU_ESTIMATE, 2),
-        "baseline_note": {
-            "reference_gpu_mpix_s": REFERENCE_MPIX_S_GPU_ESTIMATE,
-            "reference_gpu_is_estimate": True,  # ref publishes no numbers
-            "reference_cpu_measured_floor_mpix_s": REFERENCE_MPIX_S_CPU_MEASURED,
-            "vs_measured_cpu_floor": round(
-                mpix_per_s / REFERENCE_MPIX_S_CPU_MEASURED, 1),
-        },
-    }))
+    if "--inference-only" in argv:
+        mpix = measure_inference_mpix_s(
+            polyphase="--no-poly" not in argv)
+        print(json.dumps({
+            "metric": "srresnet_x4_inference_output_mpix_per_s",
+            "value": round(mpix, 2),
+            "unit": "MPix/s/chip",
+            "vs_baseline": round(mpix / REFERENCE_MPIX_S_CPU_MEASURED, 1),
+        }))
+        return
+    print(json.dumps(collect_default()))
 
 
 if __name__ == "__main__":

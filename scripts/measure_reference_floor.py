@@ -32,6 +32,56 @@ SCALE = 4
 REPEATS = 3
 
 
+def main_train():
+    """Reference TRAINING floor: its own SRResNet + MSE + Adam fused step
+    (the hot loop of /root/reference/simple_sr/operations/training.py:46-49,
+    GradientTape in sr_model.train_step), graph-compiled, on this host CPU.
+    Config matches bench.py --train: batch 16 × 96² HR crops at ×4."""
+    import numpy as np
+    import tensorflow as tf
+    from simple_sr.utils.models import model_builder
+
+    crop = 96
+    model = model_builder.build_resnet(
+        upsample_factor=SCALE, num_filters=64, num_res_blocks=16)
+    opt = tf.keras.optimizers.Adam(1e-4)
+    mse = tf.keras.losses.MeanSquaredError()
+    rng = np.random.default_rng(0)
+    lr = tf.constant(rng.uniform(0, 1, (16, crop // SCALE, crop // SCALE, 3)),
+                     tf.float32)
+    hr = tf.constant(rng.uniform(-1, 1, (16, crop, crop, 3)), tf.float32)
+
+    @tf.function
+    def step(lr, hr):
+        with tf.GradientTape() as tape:
+            sr = model(lr, training=True)
+            loss = mse(hr, sr)
+        grads = tape.gradient(loss, model.trainable_variables)
+        opt.apply_gradients(zip(grads, model.trainable_variables))
+        return loss
+
+    step(lr, hr).numpy()  # trace + warm
+    best = 0.0
+    steps = 10
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            loss = step(lr, hr)
+        _ = loss.numpy()
+        dt = (time.perf_counter() - t0) / steps
+        best = max(best, 16 * crop * crop / dt / 1e6)
+
+    print(json.dumps({
+        "metric": "reference_tf2_srresnet_x4_train_mpix_per_s",
+        "value": round(best, 3),
+        "unit": "HR MPix/s",
+        "hardware": f"host CPU ({os.cpu_count()} core), TF "
+                    + tf.__version__ + " legacy-Keras",
+        "note": "measured floor — the reference's own fused train step on "
+                "the only hardware available",
+    }))
+
+
 def main():
     import numpy as np
     import tensorflow as tf
@@ -67,4 +117,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv[1:]:
+        main_train()
+    else:
+        main()
