@@ -25,7 +25,7 @@ from simplesr_tpu.models.polyphase import (
 def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=16,
                           num_filters=64, kernel_size=3, residual_scaling=0.2,
                           batch_norm=True, num_convs=4, num_dense_blocks=3,
-                          dtype=None):
+                          dtype=None, growth_channels=None):
     """String-dispatched generator construction (reference
     model_builder.build_or_load_generator_model, :13-39). Returns an
     *uninitialized* flax module; parameter loading is handled by the
@@ -41,7 +41,8 @@ def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=1
         return RRDBNet(upsample_factor=upsample_factor, num_filters=num_filters,
                        num_rrdb_blocks=num_blocks, num_dense_blocks=num_dense_blocks,
                        num_convs=num_convs, kernel_size=kernel_size,
-                       residual_scaling=residual_scaling, dtype=dtype)
+                       residual_scaling=residual_scaling, dtype=dtype,
+                       growth_channels=growth_channels)
     if architecture == "srresnet":
         return SRResNet(upsample_factor=upsample_factor, num_filters=num_filters,
                         num_res_blocks=num_blocks, batch_norm=batch_norm,

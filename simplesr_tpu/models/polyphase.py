@@ -217,7 +217,7 @@ def rrdb_polyphase_model(model: RRDBNet, variables, mode="up"):
                          f"(got kernel_size={model.kernel_size})")
     fields = ("upsample_factor", "num_filters", "num_rrdb_blocks",
               "num_dense_blocks", "num_convs", "kernel_size",
-              "residual_scaling", "dtype")
+              "residual_scaling", "dtype", "growth_channels")
     poly = RRDBNetPolyphase(mode=mode,
                             **{f: getattr(model, f) for f in fields})
     return poly, rrdb_polyphase_variables(model, variables, mode)

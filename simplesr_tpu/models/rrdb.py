@@ -31,13 +31,20 @@ class DenseBlock(nn.Module):
     num_filters: int = 64
     kernel_size: int = 3
     dtype: Any = jnp.bfloat16
+    # dense-conv output width ("growth"); None = num_filters//2, the
+    # reference topology (model_builder.py:328-341). The MXU lane dimension
+    # is the conv OUTPUT channel count, so growth < 128 under-fills the
+    # 128-wide systolic array — growth_channels=128 is the lane-filled
+    # variant (docs/performance.md roofline).
+    growth_channels: Any = None
 
     @nn.compact
     def __call__(self, x):
         init = scaled_he_normal(0.2)
+        growth = self.growth_channels or self.num_filters // 2
         prev = [x]
         for _ in range(self.num_convs):
-            y = nn.Conv(self.num_filters // 2,
+            y = nn.Conv(growth,
                         (self.kernel_size, self.kernel_size), padding="SAME",
                         kernel_init=init, dtype=self.dtype)(prev[-1] if len(prev) == 1 else x)
             y = nn.leaky_relu(y, 0.2)
@@ -54,12 +61,14 @@ class RRDBBlock(nn.Module):
     kernel_size: int = 3
     residual_scaling: float = 0.2
     dtype: Any = jnp.bfloat16
+    growth_channels: Any = None
 
     @nn.compact
     def __call__(self, x):
         for _ in range(self.num_dense_blocks):
             block = DenseBlock(self.num_convs, self.num_filters,
-                               self.kernel_size, dtype=self.dtype)(x)
+                               self.kernel_size, dtype=self.dtype,
+                               growth_channels=self.growth_channels)(x)
             x = x + self.residual_scaling * block
         return x
 
@@ -75,6 +84,7 @@ class RRDBNet(nn.Module):
     kernel_size: int = 3
     residual_scaling: float = 0.2
     dtype: Any = jnp.bfloat16
+    growth_channels: Any = None  # None = num_filters//2 (reference parity)
 
     def __post_init__(self):
         super().__post_init__()
@@ -100,7 +110,8 @@ class RRDBNet(nn.Module):
         for _ in range(self.num_rrdb_blocks):
             trunk = RRDBBlock(self.num_dense_blocks, self.num_convs,
                               self.num_filters, self.kernel_size,
-                              self.residual_scaling, dtype=self.dtype)(trunk)
+                              self.residual_scaling, dtype=self.dtype,
+                              growth_channels=self.growth_channels)(trunk)
         trunk = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
                         padding="SAME", kernel_init=init, dtype=self.dtype)(trunk)
         return x_skip + trunk

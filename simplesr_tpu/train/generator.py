@@ -41,6 +41,7 @@ class Generator:
                  pretrained_model_path=None,
                  pretrained_model=None,
                  dtype: Any = None,
+                 growth_channels=None,
                  seed: int = 0):
         del kernel_initializer  # architectures pin their paper initializers
         self._architecture = architecture
@@ -70,6 +71,7 @@ class Generator:
         self._num_convs = num_convs
         self._kernel_size = kernel_size
         self._residual_scaling = residual_scaling
+        self._growth_channels = growth_channels
         self._batch_norm = batch_norm
         self._input_dims = input_dims
 
@@ -90,7 +92,8 @@ class Generator:
                 num_blocks=num_blocks, num_filters=num_filters,
                 kernel_size=kernel_size, residual_scaling=residual_scaling,
                 batch_norm=batch_norm, num_convs=num_convs,
-                num_dense_blocks=num_dense_blocks, dtype=dtype)
+                num_dense_blocks=num_dense_blocks, dtype=dtype,
+                growth_channels=growth_channels)
             sample_hw = tuple(d or 32 for d in input_dims)
             self._variables = self._module.init(
                 jax.random.key(seed), jnp.zeros((1, *sample_hw, 3)), train=False)
@@ -122,6 +125,7 @@ class Generator:
             num_filters=self._num_filters, num_convs=self._num_convs,
             kernel_size=self._kernel_size, residual_scaling=self._residual_scaling,
             batch_norm=self._batch_norm,
+            growth_channels=self._growth_channels,
             dtype=str(jnp.dtype(self._dtype)))
 
     def loss_functions(self):

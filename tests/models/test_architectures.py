@@ -95,3 +95,24 @@ def test_bf16_compute_f32_params():
         assert leaf.dtype == jnp.float32
     y = model.apply(variables, jnp.zeros((1, 8, 8, 3)))
     assert y.dtype == jnp.float32  # output contract stays f32
+
+
+def test_rrdb_growth_channels_roundtrip(tmp_path):
+    """growth_channels shapes the dense convs and survives save/load."""
+    import jax
+    from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.train import Generator
+    from simplesr_tpu.train.serialization import save_model, load_model
+
+    m = RRDBNet(upsample_factor=2, num_filters=16, num_rrdb_blocks=1,
+                growth_channels=16)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    dense0 = v["params"]["RRDBBlock_0"]["DenseBlock_0"]
+    assert dense0["Conv_0"]["kernel"].shape[-1] == 16  # not nf//2=8
+
+    gen = Generator.rrdb(upsample_factor=2, num_blocks=1, num_filters=16,
+                         growth_channels=16, input_dims=(8, 8))
+    path = str(tmp_path / "g.msgpack")
+    save_model(gen.module_config(), gen.variables, path)
+    module, _ = load_model(path)
+    assert module.growth_channels == 16

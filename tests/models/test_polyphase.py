@@ -218,3 +218,20 @@ def test_bf16_model_close():
     out = poly.apply(pvars, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=0.05, rtol=0.05)
+
+
+def test_rrdb_polyphase_exact_with_growth_channels(rng):
+    """growth_channels (the lane-filled dense width) must survive the
+    polyphase rewrite exactly, like the default topology."""
+    from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.models.polyphase import rrdb_polyphase_model
+
+    model = RRDBNet(upsample_factor=2, num_filters=16, num_rrdb_blocks=1,
+                    growth_channels=16, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    base = np.asarray(model.apply(variables, x, train=False), np.float32)
+    poly, pvars = rrdb_polyphase_model(model, variables, mode="up")
+    assert poly.growth_channels == 16
+    out = np.asarray(poly.apply(pvars, x, train=False), np.float32)
+    np.testing.assert_allclose(out, base, atol=2e-6)
