@@ -99,7 +99,7 @@ def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
 
 def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
     from PIL import Image
-    from simplesr_tpu.tools.serve import serve, request_upscale
+    from simplesr_tpu.tools.serve import serve, request_upscale, SRClient
 
     sock_path = os.path.join(tempfile.mkdtemp(), "sr.sock")
     ready, stop_ev = threading.Event(), threading.Event()
@@ -118,11 +118,26 @@ def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
     arr = (np.random.default_rng(1).uniform(0, 255, (LR_HW, LR_HW, 3))
            .astype(np.uint8))
     Image.fromarray(arr).save(img_file)
+    img_bytes = open(img_file, "rb").read()
 
-    rec = _run_load(lambda: request_upscale(sock_path, img_file),
-                    clients, seconds, "socket_png", max_batch)
+    # v2 protocol: each client holds ONE persistent connection (the
+    # production pattern); the reconnecting row quantifies what v1's
+    # connection-per-request cost.
+    local = threading.local()
+
+    def persistent_call():
+        if getattr(local, "client", None) is None:
+            local.client = SRClient(sock_path)
+        local.client.upscale_bytes(img_bytes)
+
+    recs = [
+        _run_load(persistent_call, clients, seconds,
+                  "socket_png_persistent", max_batch),
+        _run_load(lambda: request_upscale(sock_path, img_file),
+                  clients, seconds, "socket_png_reconnect", max_batch),
+    ]
     stop_ev.set()
-    return rec
+    return recs
 
 
 
@@ -131,8 +146,8 @@ def main(clients=16, seconds=10):
     model_path = _make_model_file(tmp)
     for rec in bench_engine(model_path, seconds, clients):
         print(json.dumps(rec), flush=True)
-    print(json.dumps(bench_socket(model_path, seconds, max(4, clients // 2))),
-          flush=True)
+    for rec in bench_socket(model_path, seconds, max(4, clients // 2)):
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
