@@ -273,10 +273,12 @@ def collect_default():
         # wide RRDB: nf=128 trunk, growth=128 dense convs (full MXU lane
         # fill — the conv OUTPUT channel count is the lane dimension),
         # 2 blocks. Slightly MORE FLOPs than the 16-block nf=64 baseline
-        # (13.3M vs 11.5M MACs/LR px) yet 2.3× the throughput; the measured
-        # winner of the growth/blocks sweep (docs/performance.md).
+        # (13.3M vs 11.5M MACs/LR px) yet 2.85× the throughput; the measured
+        # winner of the growth/blocks sweep, in its PRODUCTION tail form —
+        # the "up" polyphase mode measured 20% slower for this config
+        # (docs/performance.md).
         extras["rrdb_wide128g128_b2_x4_inference_mpix_per_s"] = round(
-            measure_rrdb_inference_mpix_s(mode="up", num_filters=128,
+            measure_rrdb_inference_mpix_s(mode="none", num_filters=128,
                                           num_rrdb_blocks=2,
                                           growth_channels=128), 2)
     except Exception as e:
