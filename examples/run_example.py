@@ -39,6 +39,10 @@ def main(argv):
     if len(argv) != 2:
         print("usage: python -m examples.run_example <config.yaml>")
         return 1
+    # SIMPLESR_COMPILE_CACHE=<dir> persists XLA executables across runs
+    # (minutes -> milliseconds for repeat train-step compiles)
+    from simplesr_tpu.utils import enable_compile_cache_from_env
+    enable_compile_cache_from_env()
     conf_yaml = yaml_helper.load_yaml(argv[1])
     operation = conf_yaml["general"]["operation"]
     if operation == "training":

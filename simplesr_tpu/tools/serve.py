@@ -408,6 +408,8 @@ def request_upscale(address, image_path):
 
 
 def main(argv=None):
+    from simplesr_tpu.utils import enable_compile_cache_from_env
+    enable_compile_cache_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", help="saved model (.msgpack) [server mode]")
     p.add_argument("--scale", type=int, default=4)

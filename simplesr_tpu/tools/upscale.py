@@ -47,6 +47,8 @@ def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000,
 
 
 def main(argv=None):
+    from simplesr_tpu.utils import enable_compile_cache_from_env
+    enable_compile_cache_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True, help="saved model (.msgpack)")
     p.add_argument("--scale", type=int, default=4, help="model upsample factor")

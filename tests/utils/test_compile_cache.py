@@ -1,0 +1,54 @@
+"""Persistent compilation cache knob (utils/compile_cache.py).
+
+The cache must be configured through jax's public config surface and honour
+the SIMPLESR_COMPILE_CACHE env contract used by the CLI entry points."""
+
+import os
+
+import jax
+
+from simplesr_tpu.utils import (enable_compile_cache,
+                                enable_compile_cache_from_env)
+
+
+def test_enable_sets_jax_config_and_creates_dir(tmp_path, monkeypatch):
+    target = tmp_path / "cache" / "nested"
+    got = enable_compile_cache(str(target), min_compile_time_secs=0.25)
+    try:
+        assert got == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.25
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_env_contract(tmp_path, monkeypatch):
+    monkeypatch.delenv("SIMPLESR_COMPILE_CACHE", raising=False)
+    assert enable_compile_cache_from_env() is None
+
+    target = tmp_path / "envcache"
+    monkeypatch.setenv("SIMPLESR_COMPILE_CACHE", str(target))
+    try:
+        assert enable_compile_cache_from_env() == str(target)
+        assert target.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_cache_populates_on_slow_compile(tmp_path):
+    """An actually-compiled computation above the time threshold lands on
+    disk (threshold 0 so even a trivial jit qualifies)."""
+    target = tmp_path / "popcache"
+    enable_compile_cache(str(target), min_compile_time_secs=0.0)
+    try:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x) @ x.T
+
+        f(jnp.ones((17, 23))).block_until_ready()
+        assert any(os.scandir(str(target))), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
