@@ -157,10 +157,10 @@ class DataPipeline:
         # keep the produced batches identical for ANY worker count
         self.num_workers = int(num_workers) if num_workers else \
             max(1, min(4, os.cpu_count() or 1))
-        # device batches kept in flight ahead of the consumer (upload +
-        # prep dispatched async); 4 measured +17% e2e over 2 when the
-        # transfer path is slow relative to the step (dev tunnel; on PCIe
-        # the depth is irrelevant), 8 measured no better
+        # device batches dispatched async ahead of the consumer (up to
+        # device_prefetch + 1 in flight, upload + prep); 4 measured +17%
+        # e2e over 2 when the transfer path is slow relative to the step
+        # (dev tunnel; on PCIe the depth is irrelevant), 8 no better
         self.device_prefetch = max(1, int(device_prefetch))
         self._rng = np.random.default_rng(random_seed)
         # device-side randomness (augmentation choices, jpeg dither) draws
@@ -413,8 +413,8 @@ class DataPipeline:
 
         # Two-level pipelining: num_workers threads assemble host batches
         # ahead (decode + crop + stack — the CPU-bound part; results are
-        # consumed strictly in order), while the main thread keeps up to 2
-        # prepared batches in flight on device.
+        # consumed strictly in order), while the main thread keeps up to
+        # device_prefetch + 1 prepared batches in flight on device.
         from concurrent.futures import ThreadPoolExecutor
         depth = max(2, 2 * self.num_workers)
         pending = []  # async-dispatched device batches
@@ -423,6 +423,7 @@ class DataPipeline:
                        for i in range(min(depth, len(chunks)))]
             for i, chunk in enumerate(chunks):
                 kind, a, b = futures[i].result()
+                futures[i] = None  # release the assembled host batch
                 if i + depth < len(chunks):
                     futures.append(pool.submit(_assemble, chunks[i + depth]))
                 if kind == "hetero":

@@ -42,7 +42,12 @@ def interpolate_models(psnr_path, gan_path, alpha):
     """
     cfg_a, var_a = serialization.load_payload(psnr_path)
     cfg_b, var_b = serialization.load_payload(gan_path)
-    if cfg_a != cfg_b:
+    # configs are build_generator_model kwargs; knobs added after a model
+    # was saved are simply absent from its config and default to None, so
+    # compare over the key union with missing == None (e.g. a pre-
+    # growth_channels save vs its own warm-started GAN stage)
+    keys = set(cfg_a) | set(cfg_b)
+    if any(cfg_a.get(k) != cfg_b.get(k) for k in keys):
         raise ValueError(
             f"model architectures differ — psnr={cfg_a} gan={cfg_b}; "
             "interpolation needs the same topology (the two-stage "
