@@ -149,10 +149,12 @@ class ConfigUtil:
                         shuffle_buffer_size=4096, random_seed=None,
                         resize_filter=None, antialias=True,
                         early_stop_metric="psnr", early_stop_patience=5,
-                        data_parallel=False):
+                        data_parallel=False, ema_decay=None):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
-        SRModel shards the batch; XLA adds the ICI gradient all-reduce)."""
+        SRModel shards the batch; XLA adds the ICI gradient all-reduce).
+        ``ema_decay`` (e.g. 0.999) tracks an EMA shadow of the generator
+        weights inside the fused step and saves it as '*_best_ema'."""
         test_data_paths = ConfigUtil._extract_multiple_data_paths(test_data_path)
         return ConfigUtil(
             train_data_paths=train_data_paths, num_epochs=num_epochs,
@@ -171,10 +173,12 @@ class ConfigUtil:
             shuffle_buffer_size=shuffle_buffer_size, random_seed=random_seed,
             early_stop_metric=early_stop_metric,
             early_stop_patience=early_stop_patience,
-            results_save_path=results_save_path)._with_data_parallel(data_parallel)
+            results_save_path=results_save_path)._with_data_parallel(
+                data_parallel, ema_decay)
 
-    def _with_data_parallel(self, flag):
+    def _with_data_parallel(self, flag, ema_decay=None):
         self.data_parallel = bool(flag)
+        self.ema_decay = ema_decay
         return self
 
     @staticmethod
@@ -187,10 +191,12 @@ class ConfigUtil:
                           minimum_variation_batch=0.05, create_save_dirs=True,
                           operation="evaluation", save_single=True, grid=False,
                           interpolate=False, with_original=False,
-                          combine_halfs=False):
-        """Evaluation/inference-mode config (reference :248-280)."""
+                          combine_halfs=False, self_ensemble=False):
+        """Evaluation/inference-mode config (reference :248-280).
+        ``self_ensemble=True`` runs every model under the ×8 geometric
+        test-time ensemble (ops/ensemble.py — beyond-reference knob)."""
         _data_paths = ConfigUtil._extract_multiple_data_paths(data_paths)
-        return ConfigUtil(
+        conf = ConfigUtil(
             operation=operation, num_epochs=None, batch_size=batch_size,
             train_data_paths=None, validation_data_path=None,
             test_data_paths=_data_paths,
@@ -205,6 +211,8 @@ class ConfigUtil:
             dry_run=not create_save_dirs, random_seed=random_seed,
             save_single=save_single, grid=grid, interpolate=interpolate,
             with_original=with_original, combine_halfs=combine_halfs)
+        conf.self_ensemble = bool(self_ensemble)
+        return conf
 
     @staticmethod
     def from_yaml(config_yaml_path):

@@ -38,50 +38,57 @@ _TILE_PATCH = 128
 _TILE_OVERLAP = 32
 
 
-def _as_predictor(model, fast=True):
+def _as_predictor(model, fast=True, ensemble=False):
     """Normalize the many accepted model forms into `fn(lr_nhwc) -> sr`.
 
     `fast=True` (default) reparameterizes saved modules for serving when an
     exact rewrite exists (models/polyphase.fast_inference — 2x on SRResNet);
-    `fast=False` serves the training-form module verbatim."""
+    `fast=False` serves the training-form module verbatim. `ensemble=True`
+    wraps the predictor in the ×8 geometric self-ensemble
+    (ops/ensemble.py) — ~8× the FLOPs for a PSNR bump; on the tiled path
+    the ensemble applies per square tile."""
     from simplesr_tpu.train.sr_model import SRModel
     from simplesr_tpu.train.generator import Generator
     from simplesr_tpu.train import serialization
 
     from simplesr_tpu.models.polyphase import fast_inference
+    from simplesr_tpu.ops.ensemble import ensemble_predictor
 
     if fast:
         reparam = fast_inference
     else:  # opt-out: serve the training-form module verbatim
         reparam = lambda module, variables: (module, variables)
+    wrap = ensemble_predictor if ensemble else (lambda fn: fn)
 
     if isinstance(model, (str, os.PathLike)):
         module, variables = serialization.load_model(str(model))
         module, variables = reparam(module, variables)
-        return jax.jit(lambda x: module.apply(variables, x, train=False))
+        return wrap(jax.jit(lambda x: module.apply(variables, x, train=False)))
     if isinstance(model, SRModel):
-        return model.generate
+        return wrap(model.generate)
     if isinstance(model, Generator):
-        return model.generate
+        return wrap(model.generate)
     if isinstance(model, tuple) and len(model) == 2:
         module, variables = reparam(*model)
-        return jax.jit(lambda x: module.apply(variables, x, train=False))
+        return wrap(jax.jit(lambda x: module.apply(variables, x, train=False)))
     if callable(model):
-        return model
+        return wrap(model)
     raise TypeError(f"cannot build a predictor from {type(model)}")
 
 
-def _load_models(config, model, model_name, fast=True):
+def _load_models(config, model, model_name, fast=True, ensemble=False):
     if model is None:
         if getattr(config, "model_path", None) is None:
             raise ValueError("No model was supplied and config does not contain path to model")
         paths = config.model_path
         if not isinstance(paths, list):
             paths = [paths]
-        return {Path(p).stem: _as_predictor(p, fast=fast) for p in paths}
+        return {Path(p).stem: _as_predictor(p, fast=fast, ensemble=ensemble)
+                for p in paths}
     if isinstance(model, dict):
-        return {k: _as_predictor(v, fast=fast) for k, v in model.items()}
-    return {model_name: _as_predictor(model, fast=fast)}
+        return {k: _as_predictor(v, fast=fast, ensemble=ensemble)
+                for k, v in model.items()}
+    return {model_name: _as_predictor(model, fast=fast, ensemble=ensemble)}
 
 
 def _hw(tensor):
@@ -118,7 +125,7 @@ def _upscale(predict, lr_batch, scale):
 def evaluate_on_validationdata(config, model_name="", pipeline=None, model=None,
                                save_grid=False, combine_halfs=False,
                                save_single=False, save_prefix="",
-                               calc_stats=False, fast=True):
+                               calc_stats=False, fast=True, ensemble=None):
     """Paired evaluation on the pipeline's validation set. Returns
     {model_or_interp_name: {"psnr": [...], "psnr-y": [...], "ssim": [...]}}
     (values per image) when calc_stats, else {}."""
@@ -126,7 +133,10 @@ def evaluate_on_validationdata(config, model_name="", pipeline=None, model=None,
 
     if pipeline is None:
         pipeline = DataPipeline.from_config(config)
-    models = _load_models(config, model, model_name, fast=fast)
+    if ensemble is None:
+        ensemble = bool(getattr(config, "self_ensemble", False))
+    models = _load_models(config, model, model_name, fast=fast,
+                          ensemble=ensemble)
 
     ground_truth_key = "GT"
     low_res_key = "LR"
@@ -217,13 +227,16 @@ def evaluate_on_validationdata(config, model_name="", pipeline=None, model=None,
 def evaluate_on_testdata(config, model_name="", pipeline=None, model=None,
                          save_single=True, combine_halfs=False,
                          interpolate=True, grid=True, with_original=False,
-                         save_prefix="", fast=True):
+                         save_prefix="", fast=True, ensemble=None):
     """Unpaired inference over the pipeline's test set (reference :214-320)."""
     from simplesr_tpu.data import DataPipeline
 
     if pipeline is None:
         pipeline = DataPipeline.inference_pipeline(config)
-    models = _load_models(config, model, model_name, fast=fast)
+    if ensemble is None:
+        ensemble = bool(getattr(config, "self_ensemble", False))
+    models = _load_models(config, model, model_name, fast=fast,
+                          ensemble=ensemble)
     scale = config.scale
     pic_dir = getattr(config, "pic_dir", ".")
     batch_size = getattr(config, "batch_size", 1)

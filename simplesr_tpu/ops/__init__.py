@@ -12,6 +12,12 @@ from simplesr_tpu.ops.tiling import (
     tiled_apply,
     tiled_apply_many,
 )
+from simplesr_tpu.ops.ensemble import (
+    dihedral_transform,
+    dihedral_inverse,
+    self_ensemble,
+    ensemble_predictor,
+)
 from simplesr_tpu.ops import augment
 
 __all__ = [
@@ -21,4 +27,6 @@ __all__ = [
     "segment_into_patches", "reconstruct_from_patches",
     "reconstruct_from_overlapping_patches", "tiled_apply",
     "tiled_apply_many", "augment",
+    "dihedral_transform", "dihedral_inverse", "self_ensemble",
+    "ensemble_predictor",
 ]

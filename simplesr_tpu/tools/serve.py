@@ -118,12 +118,12 @@ class SREngine:
     The socket server uses it for every request."""
 
     def __init__(self, model_path, scale, max_batch=8, max_wait_ms=5,
-                 tile_threshold=1000, fast=True, mesh=None):
+                 tile_threshold=1000, fast=True, mesh=None, ensemble=False):
         import jax
         import jax.numpy as jnp
         from simplesr_tpu.eval.evaluation import _as_predictor
 
-        base = _as_predictor(model_path, fast=fast)
+        base = _as_predictor(model_path, fast=fast, ensemble=ensemble)
 
         def u8_wrapper(x_u8):
             sr = base(x_u8.astype(jnp.float32) / 255.0)
@@ -284,15 +284,16 @@ class SREngine:
 
 def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
           max_wait_ms=5, ready_event=None, stop_event=None, warm_shapes=None,
-          mesh=None):
+          mesh=None, ensemble=False):
     """Run the daemon until stop_event (or forever). `warm_shapes`
     (e.g. ((128, 128),)) pre-compiles those LR buckets in the uint8 dtype
     the socket path serves, before readiness is signaled. `mesh` shards
-    request batches over its data axis (multi-chip serving)."""
+    request batches over its data axis (multi-chip serving); `ensemble`
+    serves every request through the ×8 geometric self-ensemble."""
     from PIL import Image
 
     engine = SREngine(model_path, scale, max_batch=max_batch,
-                      max_wait_ms=max_wait_ms, mesh=mesh)
+                      max_wait_ms=max_wait_ms, mesh=mesh, ensemble=ensemble)
     if warm_shapes:
         engine.warmup(shapes=warm_shapes, u8=True)
 
@@ -423,6 +424,9 @@ def main(argv=None):
     p.add_argument("--mesh-dp", type=int, metavar="N",
                    help="shard request batches over N devices "
                         "(multi-chip data-parallel serving)")
+    p.add_argument("--ensemble", action="store_true",
+                   help="serve through the x8 geometric self-ensemble "
+                        "(higher PSNR, ~8x compute per request)")
     p.add_argument("--client", metavar="ADDR",
                    help="client mode: socket path (or host:port)")
     p.add_argument("--output", default=".", help="[client] output directory")
@@ -479,7 +483,8 @@ def main(argv=None):
           f"{args.socket or f'127.0.0.1:{args.port}'}", flush=True)
     serve(args.model, args.scale, socket_path=args.socket,
           tcp_port=args.port, max_batch=args.max_batch,
-          max_wait_ms=args.max_wait_ms, warm_shapes=warm, mesh=mesh)
+          max_wait_ms=args.max_wait_ms, warm_shapes=warm, mesh=mesh,
+          ensemble=args.ensemble)
     return 0
 
 

@@ -17,7 +17,7 @@ import numpy as np
 
 
 def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000,
-                  fast=True):
+                  fast=True, ensemble=False):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -25,7 +25,7 @@ def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000,
     from simplesr_tpu.eval.evaluation import _as_predictor, _upscale
     from simplesr_tpu.eval.rendering import tensor_to_img
 
-    predict = _as_predictor(model_path, fast=fast)
+    predict = _as_predictor(model_path, fast=fast, ensemble=ensemble)
     os.makedirs(output_dir, exist_ok=True)
     outputs = []
     for path in inputs:
@@ -56,10 +56,13 @@ def main(argv=None):
     p.add_argument("--no-fast", action="store_true",
                    help="serve the training-form module (skip the exact "
                         "polyphase serving reparameterization)")
+    p.add_argument("--ensemble", action="store_true",
+                   help="x8 geometric self-ensemble (rotations+flips "
+                        "averaged) — higher PSNR at ~8x the compute")
     p.add_argument("inputs", nargs="+", help="input image files")
     args = p.parse_args(argv)
     upscale_files(args.model, args.inputs, args.output, args.scale,
-                  fast=not args.no_fast)
+                  fast=not args.no_fast, ensemble=args.ensemble)
     return 0
 
 

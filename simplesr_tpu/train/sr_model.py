@@ -50,6 +50,7 @@ class SRTrainState:
     g_params: Any
     g_batch_stats: Any
     g_opt_state: Any
+    g_ema_params: Any  # {} when EMA tracking is off
     d_params: Any
     d_batch_stats: Any
     d_opt_state: Any
@@ -77,7 +78,8 @@ class SRModel:
                  seed=0,
                  mesh=None,
                  skip_nonfinite_updates=True,
-                 tb_batch_interval=50):
+                 tb_batch_interval=50,
+                 ema_decay=None):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -132,6 +134,14 @@ class SRModel:
             if self._d_tx is not None:
                 self._d_tx = optax.apply_if_finite(self._d_tx, max_consecutive_errors=100)
 
+        # EMA shadow of the generator params (beyond-reference knob; the
+        # ESRGAN lineage ships EMA'd generators). Initialized AT the params
+        # (no zero-init bias), updated inside the fused train step, and
+        # saved alongside the raw weights by after_training/save_model.
+        if ema_decay is not None and not 0.0 < float(ema_decay) < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+        self._ema_decay = None if ema_decay is None else float(ema_decay)
+
         # ---------------------------------------------------------- state
         g_vars = dict(generator.variables)
         g_params = g_vars.pop("params")
@@ -142,11 +152,14 @@ class SRModel:
             d_params = d_vars.pop("params")
             d_stats = d_vars.pop("batch_stats", {})
             d_opt = self._d_tx.init(d_params)
+        # copies, not aliases — the train step donates the state buffers
+        g_ema = jax.tree_util.tree_map(jnp.array, g_params) \
+            if self._ema_decay is not None else {}
         self._state = SRTrainState(
             step=jnp.zeros((), jnp.int32),
             best_metric=jnp.asarray(-1.0, jnp.float32),
             g_params=g_params, g_batch_stats=g_stats,
-            g_opt_state=self._g_tx.init(g_params),
+            g_opt_state=self._g_tx.init(g_params), g_ema_params=g_ema,
             d_params=d_params, d_batch_stats=d_stats, d_opt_state=d_opt,
             rng=jax.random.key(seed),
         )
@@ -231,6 +244,7 @@ class SRModel:
         gen = self._generator
         disc = self._discriminator
         g_tx, d_tx = self._g_tx, self._d_tx
+        ema_decay = self._ema_decay
 
         def loss_fn(both_params, state, lr, hr, key):
             g_params, d_params = both_params
@@ -275,11 +289,16 @@ class SRModel:
                                                      state.d_params)
                 d_params = jax.tree_util.tree_map(lambda p, u: p + u,
                                                   state.d_params, d_updates)
+            g_ema = state.g_ema_params
+            if ema_decay is not None:
+                g_ema = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    g_ema, g_params)
             img_metrics = self._image_metric_values(hr, aux["sr"])
             new_state = state.replace(
                 step=state.step + 1,
                 g_params=g_params, g_batch_stats=aux["g_stats"],
-                g_opt_state=g_opt_state,
+                g_opt_state=g_opt_state, g_ema_params=g_ema,
                 d_params=d_params, d_batch_stats=aux["d_stats"],
                 d_opt_state=d_opt_state, rng=new_rng)
             return new_state, dict(g=aux["g_metrics"], d=aux["d_metrics"],
@@ -404,12 +423,21 @@ class SRModel:
                                      original=None, psnr=None,
                                      low_res_key=None, **kwargs)
 
-    def generate(self, lr_batch):
-        """SR with the current generator params (eval mode)."""
-        variables = {"params": self._state.g_params}
+    def generate(self, lr_batch, ema=False):
+        """SR with the current generator params (eval mode). ``ema=True``
+        uses the EMA shadow weights (requires ``ema_decay``)."""
+        variables = {"params": self._ema_or_raw_params(ema)}
         if self._state.g_batch_stats:
             variables["batch_stats"] = self._state.g_batch_stats
         return self._generator.generate(lr_batch, variables=variables)
+
+    def _ema_or_raw_params(self, ema):
+        if not ema:
+            return self._state.g_params
+        if self._ema_decay is None:
+            raise ValueError("EMA weights requested but the model was "
+                             "built without ema_decay")
+        return self._state.g_ema_params
 
     # ============================================================ lifecycle
 
@@ -473,9 +501,12 @@ class SRModel:
             self._ckpt_mgr.wait_until_finished()
 
     def after_training(self):
-        """Restore best checkpoint, save '*_best' model (reference :601-609)."""
+        """Restore best checkpoint, save '*_best' model (reference :601-609);
+        with EMA tracking on, also '*_best_ema'."""
         self._restore_latest_checkpoint()
         self.save_model(self._model_dir, postfix="best")
+        if self._ema_decay is not None:
+            self.save_model(self._model_dir, postfix="best_ema", ema=True)
         self._reset_epoch_metrics()
 
     # ========================================================= checkpointing
@@ -523,6 +554,7 @@ class SRModel:
             "g_params": self._state.g_params,
             "g_batch_stats": self._state.g_batch_stats,
             "g_opt_state": self._state.g_opt_state,
+            "g_ema_params": self._state.g_ema_params,
             "d_params": {},
             "d_batch_stats": {},
             "d_opt_state": (),
@@ -541,12 +573,16 @@ class SRModel:
             # foreign opt state is discarded
             restored = mgr.restore(step, args=ocp.args.StandardRestore())
             opt_state = self._state.g_opt_state
+        # re-seed the EMA shadow at the warm-start weights (fresh copies —
+        # the train step donates state buffers)
+        g_ema = jax.tree_util.tree_map(jnp.array, restored["g_params"]) \
+            if self._ema_decay is not None else self._state.g_ema_params
         self._state = self._state.replace(
             step=jnp.asarray(restored["step"]),
             best_metric=jnp.asarray(restored["best_metric"]),
             g_params=restored["g_params"],
             g_batch_stats=restored["g_batch_stats"],
-            g_opt_state=opt_state)
+            g_opt_state=opt_state, g_ema_params=g_ema)
         mgr.close()
 
     def latest_checkpoint(self):
@@ -566,12 +602,12 @@ class SRModel:
         self._iterations = int(self._state.step)
         return step
 
-    def save_model(self, save_path, postfix=None):
+    def save_model(self, save_path, postfix=None, ema=False):
         """Save the generator as a whole-model file (.h5 equivalent,
-        reference :233-244)."""
+        reference :233-244). ``ema=True`` saves the EMA shadow weights."""
         if postfix is None:
             postfix = self._epochs
-        variables = {"params": jax.device_get(self._state.g_params)}
+        variables = {"params": jax.device_get(self._ema_or_raw_params(ema))}
         if self._state.g_batch_stats:
             variables["batch_stats"] = jax.device_get(self._state.g_batch_stats)
         path = os.path.join(save_path,
@@ -732,6 +768,7 @@ class SRModel:
             image_metrics=image_metrics,
             early_stop_metric=config.early_stop_metric,
             early_stop_patience=config.early_stop_patience,
+            ema_decay=getattr(config, "ema_decay", None),
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,

@@ -77,3 +77,36 @@ def test_model_from_saved_file(tmp_path, tiny_gen):
     results = evaluate_on_validationdata(config=cfg, pipeline=pipeline,
                                          calc_stats=True)
     assert "gen" in results
+
+
+def test_evaluate_with_self_ensemble(tmp_path, tiny_gen):
+    """ensemble=True changes the model outputs (random weights are not
+    equivariant) but leaves the bicubic comparison row untouched."""
+    cfg = _Cfg(tmp_path)
+    pipeline = DataPipeline.eval_pipeline(cfg)
+    plain = evaluate_on_validationdata(
+        config=cfg, model_name="tiny", pipeline=pipeline, model=tiny_gen,
+        calc_stats=True)
+    pipeline2 = DataPipeline.eval_pipeline(cfg)
+    ens = evaluate_on_validationdata(
+        config=cfg, model_name="tiny", pipeline=pipeline2, model=tiny_gen,
+        calc_stats=True, ensemble=True)
+    assert not np.allclose(plain["tiny"]["psnr"], ens["tiny"]["psnr"])
+    np.testing.assert_allclose(plain["bicubic"]["psnr"],
+                               ens["bicubic"]["psnr"], atol=1e-6)
+
+
+def test_config_self_ensemble_knob(tmp_path):
+    """ConfigUtil.evaluation_config carries the knob; evaluate_* read it
+    when `ensemble` is not explicitly passed."""
+    from simplesr_tpu.config import ConfigUtil
+
+    cfg = ConfigUtil.evaluation_config(
+        data_paths=GRAD_DIR, test_originals_path=None, model_paths=None,
+        results_save_path=str(tmp_path), scale=2, create_save_dirs=False,
+        self_ensemble=True)
+    assert cfg.self_ensemble is True
+    cfg2 = ConfigUtil.evaluation_config(
+        data_paths=GRAD_DIR, test_originals_path=None, model_paths=None,
+        results_save_path=str(tmp_path), scale=2, create_save_dirs=False)
+    assert cfg2.self_ensemble is False

@@ -197,3 +197,28 @@ def test_persistent_connection_many_requests(model_file, rng, tmp_path):
     finally:
         stop.set()
         server.join(timeout=30)
+
+
+def test_engine_ensemble_matches_library_op(model_file, rng):
+    """SREngine(ensemble=True) serves exactly self_ensemble of the plain
+    predictor, through the f32 and uint8 entry points."""
+    from simplesr_tpu.tools.serve import SREngine
+    from simplesr_tpu.eval.evaluation import _as_predictor
+    from simplesr_tpu.ops import self_ensemble
+
+    engine = SREngine(model_file, scale=2, max_batch=2, max_wait_ms=1,
+                      ensemble=True)
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    out = np.asarray(engine.upscale(img))
+
+    predict = _as_predictor(model_file)
+    want = np.asarray(self_ensemble(predict, jnp.asarray(img)[None])[0])
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+    u8 = (img * 255).astype(np.uint8)
+    out_u8 = np.asarray(engine.upscale_u8(u8))
+    want_u8 = np.asarray(self_ensemble(
+        predict, jnp.asarray(u8, jnp.float32)[None] / 255.0)[0])
+    want_u8 = np.clip((want_u8 + 1.0) * 127.5, 0, 255).astype(np.int16)
+    assert np.abs(out_u8.astype(np.int16) - want_u8).max() <= 1
+    engine.close()

@@ -53,3 +53,32 @@ def test_no_fast_flag_matches_fast(tmp_path, rng):
                       np.int16)
     fast = np.asarray(Image.open(outs[0]), np.int16)
     assert np.abs(slow - fast).max() <= 1  # f32 reassociation -> at most 1 LSB
+
+
+def test_ensemble_flag(tmp_path, rng):
+    """--ensemble runs and agrees with the direct self_ensemble of the same
+    predictor (the CLI merely wraps it)."""
+    from simplesr_tpu.eval.evaluation import _as_predictor
+    from simplesr_tpu.ops import self_ensemble
+
+    model = _save_tiny_model(tmp_path)
+    img = (rng.uniform(0, 255, (20, 28, 3))).astype(np.uint8)
+    in_path = str(tmp_path / "in.png")
+    Image.fromarray(img).save(in_path)
+
+    rc = main(["--model", model, "--scale", "2", "--ensemble",
+               "--output", str(tmp_path / "ens"), in_path])
+    assert rc == 0
+    got = np.asarray(Image.open(str(tmp_path / "ens" / "in_x2.png")), np.int16)
+
+    predict = _as_predictor(model, fast=True)
+    x = jnp.asarray(img, jnp.float32)[None] / 255.0
+    sr = np.asarray(self_ensemble(predict, x)[0])
+    want = np.clip((sr + 1.0) * 127.5, 0, 255).astype(np.int16)
+    assert np.abs(got - want).max() <= 1
+
+    # and it must differ from the non-ensembled output (random-weight model
+    # is not equivariant)
+    plain = upscale_files(model, [in_path], str(tmp_path / "plain"), scale=2)
+    plain_arr = np.asarray(Image.open(plain[0]), np.int16)
+    assert np.abs(got - plain_arr).max() > 1
