@@ -12,8 +12,11 @@ activations + LeakyReLU 0.2, closed by a conv back to num_filters. No
 BatchNorm anywhere (paper-faithful). Init: he_normal with scale 0.2 (:60-61).
 
 Note the reference applies ONE global ×0.2 trunk skip after all RRDB blocks
-(_build_rrdb_blocks:363-364) rather than the paper's per-block outer skip;
-matched here for parity.
+(_build_rrdb_blocks:363-364) rather than the paper's per-block outer skip —
+that scaled skip feeds the post-trunk conv, and a second, unscaled skip
+from the head conv wraps it (build_enhanced_resnet:79). Both are matched
+here; bit-level parity with the reference builder is pinned by
+tests/eval/test_import_keras.py.
 """
 
 from typing import Any
@@ -112,6 +115,13 @@ class RRDBNet(nn.Module):
                               self.num_filters, self.kernel_size,
                               self.residual_scaling, dtype=self.dtype,
                               growth_channels=self.growth_channels)(trunk)
+        # the reference's rrdb-global scaled skip (_build_rrdb_blocks:363-364)
+        # feeds the post-trunk conv, and the UNSCALED head skip wraps the
+        # conv (:79). Both adds are parameterless — verified bit-exact
+        # against the reference's own builder in
+        # tests/eval/test_import_keras.py (which caught this: round ≤3
+        # omitted the scaled inner skip).
+        trunk = x_skip + self.residual_scaling * trunk
         trunk = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
                         padding="SAME", kernel_init=init, dtype=self.dtype)(trunk)
         return x_skip + trunk
