@@ -20,6 +20,10 @@ evaluation_example:
 bench:
 	$(PY) bench.py
 
+docs:
+	$(PY) scripts/gen_api_docs.py
+	$(PY) scripts/build_docs.py
+
 graft:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 		$(PY) __graft_entry__.py
