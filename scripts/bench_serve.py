@@ -140,13 +140,55 @@ def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
     return recs
 
 
+def bench_http(model_path, seconds=10.0, clients=8, max_batch=16):
+    """HTTP gateway under the same load shape (keep-alive connections)."""
+    import http.client
+    from PIL import Image
+    from simplesr_tpu.tools.http_gateway import serve_http
+
+    ready, stop_ev = threading.Event(), threading.Event()
+    bound = {}
+    server = threading.Thread(
+        target=serve_http, args=(model_path, SCALE, 0),
+        kwargs=dict(max_batch=max_batch, max_wait_ms=10, ready_event=ready,
+                    stop_event=stop_ev, warm_shapes=((LR_HW, LR_HW),),
+                    on_server=lambda s: bound.update(
+                        port=s.server_address[1])),
+        daemon=True)
+    server.start()
+    ready.wait(600)
+
+    buf = io.BytesIO()
+    arr = (np.random.default_rng(1).uniform(0, 255, (LR_HW, LR_HW, 3))
+           .astype(np.uint8))
+    Image.fromarray(arr).save(buf, format="PNG")
+    img_bytes = buf.getvalue()
+    local = threading.local()
+
+    def call():
+        if getattr(local, "conn", None) is None:
+            local.conn = http.client.HTTPConnection(
+                "127.0.0.1", bound["port"], timeout=600)
+        local.conn.request("POST", "/upscale", body=img_bytes)
+        resp = local.conn.getresponse()
+        resp.read()
+        assert resp.status == 200
+
+    rec = _run_load(call, clients, seconds, "http_png_keepalive", max_batch)
+    stop_ev.set()
+    return [rec]
+
 
 def main(clients=16, seconds=10):
+    from simplesr_tpu.utils import enable_compile_cache_from_env
+    enable_compile_cache_from_env()
     tmp = tempfile.mkdtemp()
     model_path = _make_model_file(tmp)
     for rec in bench_engine(model_path, seconds, clients):
         print(json.dumps(rec), flush=True)
     for rec in bench_socket(model_path, seconds, max(4, clients // 2)):
+        print(json.dumps(rec), flush=True)
+    for rec in bench_http(model_path, seconds, max(4, clients // 2)):
         print(json.dumps(rec), flush=True)
 
 
