@@ -151,7 +151,7 @@ def _build_reference_model(builder, config):
             batch_normalization=config.get("batch_norm", True))
     if arch == "rrdb":
         nf = config.get("num_filters", 64)
-        growth = config.get("growth_channels", nf // 2)
+        growth = config.get("growth_channels") or nf // 2
         if growth != nf // 2:
             raise ValueError(
                 f"growth_channels={growth} is not representable in the "

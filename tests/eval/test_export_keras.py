@@ -125,6 +125,22 @@ def test_wide_growth_rejected(tmp_path, rng):
         export_keras_model(path, str(tmp_path / "w.h5"), reference=REFERENCE)
 
 
+def test_growth_none_means_default(tmp_path, rng):
+    """Model files saved from training carry `growth_channels: None` for
+    the default split — that must export, not be rejected as wide."""
+    path, config, variables = _save_random_model(
+        tmp_path, rng, upsample_factor=2, architecture="rrdb",
+        num_blocks=1, num_dense_blocks=2, num_convs=2, num_filters=8,
+        growth_channels=None, batch_norm=False)
+    from simplesr_tpu.tools.export_keras import export_keras_model
+    h5 = str(tmp_path / "g.h5")
+    export_keras_model(path, h5, reference=REFERENCE)
+    x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(_load_h5_predict(h5, x),
+                               _flax_predict(config, variables, x),
+                               atol=2e-5)
+
+
 def test_cli(tmp_path, rng):
     path, _, _ = _save_random_model(
         tmp_path, rng, upsample_factor=2, architecture="srresnet",
