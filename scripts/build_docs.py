@@ -105,12 +105,12 @@ def render(md):
     headers, fenced code, tables, nested lists, blockquotes, hrules."""
     lines = md.split("\n")
     out, i = [], 0
-    list_stack = []  # open list indent levels
+    list_stack = []  # open lists: (indent, tag)
 
     def close_lists(to_indent=-1):
-        while list_stack and list_stack[-1] >= to_indent >= 0 or \
-                (to_indent < 0 and list_stack):
-            out.append("</ul>")
+        while list_stack and (list_stack[-1][0] >= to_indent >= 0 or
+                              to_indent < 0):
+            out.append(f"</{list_stack[-1][1]}>")
             list_stack.pop()
 
     while i < len(lines):
@@ -157,18 +157,19 @@ def render(md):
             out.append("</tbody></table>")
             continue
 
-        m = re.match(r"^(\s*)[-*]\s+(.*)$", line)
+        m = re.match(r"^(\s*)(?:[-*]|(\d+)\.)\s+(.*)$", line)
         if m and not re.match(r"^\s*[-*]{3,}\s*$", line):
             indent = len(m.group(1))
-            if not list_stack or indent > list_stack[-1]:
-                out.append("<ul>")
-                list_stack.append(indent)
+            tag = "ol" if m.group(2) else "ul"
+            if not list_stack or indent > list_stack[-1][0]:
+                out.append(f"<{tag}>")
+                list_stack.append((indent, tag))
             else:
-                while len(list_stack) > 1 and indent < list_stack[-1]:
-                    out.append("</ul>")
+                while len(list_stack) > 1 and indent < list_stack[-1][0]:
+                    out.append(f"</{list_stack[-1][1]}>")
                     list_stack.pop()
             # continuation lines of this item
-            item = [m.group(2)]
+            item = [m.group(3)]
             while (i + 1 < len(lines) and lines[i + 1].strip() and
                    not re.match(r"^\s*([-*#>|]|```|\d+\.)", lines[i + 1]) and
                    len(lines[i + 1]) - len(lines[i + 1].lstrip()) > indent):

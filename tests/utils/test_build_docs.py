@@ -51,6 +51,11 @@ def test_nested_lists_close():
     assert "<li>b</li>" in out
 
 
+def test_ordered_lists():
+    out = build_docs.render("1. first\n2. second\n\ntail")
+    assert "<ol>" in out and out.count("<li>") == 2 and "</ol>" in out
+
+
 def test_full_site_builds(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(build_docs, "OUT", str(tmp_path))
     assert build_docs.build() == 0
