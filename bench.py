@@ -45,18 +45,25 @@ CHAIN = 25
 
 
 def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
-                             num_filters=64, polyphase=True):
+                             num_filters=64, polyphase=True, paired_ways=0):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from simplesr_tpu.models import SRResNet, polyphase_model
+    from simplesr_tpu.models import SRResNet, paired_model, polyphase_model
 
     model = SRResNet(upsample_factor=scale, num_res_blocks=16,
                      num_filters=num_filters)
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.uniform(0, 1, (batch, lr_hw, lr_hw, 3)), jnp.float32)
     variables = model.init(jax.random.key(0), lr[:1])
-    if polyphase:
+    if paired_ways:
+        # batch→channel paired trunk + polyphase tail (models/paired.py):
+        # trunk convs run at ways·C channels with block-diagonal kernels —
+        # w× the MACs but full MXU lanes (C=64→128 measured 53→155 TFLOP/s,
+        # docs/performance.md). Exactness pinned by tests/models/test_paired.py.
+        model, variables = paired_model(model, variables, ways=paired_ways,
+                                        polyphase=polyphase)
+    elif polyphase:
         # mathematically identical inference reparameterization (exactness
         # pinned by tests/models/test_polyphase.py); tail convs run at LR
         # with full MXU lanes instead of at 2x/4x with 64/3 channels
@@ -176,7 +183,7 @@ def measure_train_ms_per_step(steps=30, crop=96, scale=SCALE):
     return best * 1000.0
 
 
-def measure_train_e2e_mpix_s(epochs=2, crop=96, scale=SCALE):
+def measure_train_e2e_mpix_s(epochs=3, crop=96, scale=SCALE):
     """END-TO-END training throughput: the real DataPipeline (host decode →
     C++ crop server → uint8 upload → jitted device prep) feeding the fused
     train step, exactly the reference's hot loop
@@ -184,6 +191,14 @@ def measure_train_e2e_mpix_s(epochs=2, crop=96, scale=SCALE):
     (e2e HR MPix/s, device-only HR MPix/s, host assembly-only MPix/s).
 
     First epoch warms the decode cache and compiles; later epochs measured.
+
+    Methodology note: the measured window is `epochs` full epochs with ONE
+    value-fetch fence at the end — the same amortization
+    measure_train_ms_per_step uses. A per-epoch fence would charge the dev
+    tunnel's ~80 ms host round trip against every epoch, which at small
+    epoch sizes measures the tunnel, not the pipeline (a fence per 18-step
+    epoch understated the sustained rate ~3×; on directly attached TPU the
+    fence is sub-ms and either methodology agrees).
     """
     import tempfile
     import jax
@@ -203,7 +218,7 @@ def measure_train_e2e_mpix_s(epochs=2, crop=96, scale=SCALE):
 
     pipe = DataPipeline(
         hr_img_path=img_dir, scale=scale, batch_size=16,
-        crop_size=(crop, crop, 3), num_crops=24, train_val_split=0.0,
+        crop_size=(crop, crop, 3), num_crops=96, train_val_split=0.0,
         augmentations=["flip_along_x", "flip_along_y", "rotate90"],
         random_seed=0, drop_remainder=True)
     model = _srresnet_train_model(tmp, crop, scale)
@@ -215,20 +230,21 @@ def measure_train_e2e_mpix_s(epochs=2, crop=96, scale=SCALE):
             model.train_step(lr_b, hr_b)
             model.after_train_batch()
             n += int(lr_b.shape[0])
-        # fence: fetch a param scalar so timing includes execution
+        return n
+
+    def fence():
+        # value fetch: the only real execution barrier through the tunnel
         jax.block_until_ready(model.state.g_params)
         float(np.asarray(jax.tree_util.tree_leaves(
             model.state.g_params)[0]).ravel()[0])
-        return n
 
     one_epoch()  # warm: decode cache, jit compiles
-    best = 0.0
-    n_imgs = 0
-    for _ in range(epochs):
-        t0 = time.perf_counter()
-        n_imgs = one_epoch()
-        dt = time.perf_counter() - t0
-        best = max(best, n_imgs * crop * crop / 1e6 / dt)
+    fence()
+    t0 = time.perf_counter()
+    n_imgs = sum(one_epoch() for _ in range(epochs))
+    fence()
+    dt = time.perf_counter() - t0
+    best = n_imgs * crop * crop / 1e6 / dt
 
     # device-only floor for the ratio: same step, host-resident batch
     ms = measure_train_ms_per_step(steps=20, crop=crop, scale=scale)
@@ -345,6 +361,31 @@ def main(argv=None):
             "value": round(mpix, 2),
             "unit": "MPix/s/chip",
             "vs_baseline": None,
+        }))
+        return
+    if "--paired" in argv:
+        # batch→channel paired trunk (models/paired.py): measure the block-
+        # diagonal lane-fill rewrite vs the plain polyphase lowering at the
+        # same total batch. The lever needs batch ≥ 2·saturation (pairing
+        # halves the effective batch the conv sees), so default batch 32.
+        ways = int(argv[argv.index("--paired") + 1]) if \
+            len(argv) > argv.index("--paired") + 1 and \
+            argv[argv.index("--paired") + 1].isdigit() else 2
+        batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv \
+            else 32
+        polyphase = "--no-poly" not in argv
+        mpix = measure_inference_mpix_s(batch=batch, paired_ways=ways,
+                                        polyphase=polyphase, chain=15)
+        base = measure_inference_mpix_s(batch=batch, polyphase=polyphase,
+                                        chain=15)
+        print(json.dumps({
+            "metric": f"srresnet_x4_paired{ways}_b{batch}"
+                      "_inference_output_mpix_per_s",
+            "value": round(mpix, 2),
+            "unit": "MPix/s/chip",
+            "vs_baseline": None,
+            "note": {"unpaired_same_batch_mpix_per_s": round(base, 2),
+                     "paired_over_unpaired": round(mpix / base, 3)},
         }))
         return
     if "--filters" in argv:

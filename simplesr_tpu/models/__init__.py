@@ -20,6 +20,12 @@ from simplesr_tpu.models.polyphase import (
     polyphase_model,
     polyphase_variables,
 )
+from simplesr_tpu.models.paired import (
+    SRResNetPaired,
+    SRResNetPairedPolyphase,
+    paired_model,
+    paired_variables,
+)
 
 
 def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=16,
@@ -55,5 +61,7 @@ __all__ = [
     "Discriminator", "VGGFeatures", "vgg_layer_names", "load_vgg_weights_npz",
     "init_vgg_params", "PReLU", "ConvLayer", "SubpixelConvBlock",
     "SRResNetPolyphase", "polyphase_model", "polyphase_variables",
+    "SRResNetPaired", "SRResNetPairedPolyphase", "paired_model",
+    "paired_variables",
     "build_generator_model",
 ]

@@ -66,19 +66,26 @@ class SRResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         return self._tail(self._features(x, train), train)
 
+    def _trunk_width(self) -> int:
+        """Channel width the trunk convs run at. The batch→channel paired
+        inference variant (models/paired.py) widens this `ways`-fold while
+        keeping the same parameter tree structure."""
+        return self.num_filters
+
     def _features(self, x, train: bool):
         """Head + residual trunk + global skip — shared with the polyphase
         inference variant (models/polyphase.py), which must generate the
         identical parameter tree for this part."""
+        width = self._trunk_width()
         x = jnp.asarray(x, self.dtype)
-        x = ConvLayer(self.num_filters, 9, dtype=self.dtype)(x, train)
+        x = ConvLayer(width, 9, dtype=self.dtype)(x, train)
         x = x_skip = PReLU()(x)
 
         for _ in range(self.num_res_blocks):
-            x = ResBlock(self.num_filters, self.momentum, self.batch_norm,
+            x = ResBlock(width, self.momentum, self.batch_norm,
                          dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
 
-        x = ConvLayer(self.num_filters, 3, batch_norm=self.batch_norm,
+        x = ConvLayer(width, 3, batch_norm=self.batch_norm,
                       momentum=self.momentum, dtype=self.dtype,
                       bn_axis_name=self.bn_axis_name)(x, train)
         return x + x_skip
