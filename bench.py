@@ -90,14 +90,19 @@ def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
 
 def measure_rrdb_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE,
                                   chain=10, mode="up", num_filters=64,
-                                  num_rrdb_blocks=16, growth_channels=None):
+                                  num_rrdb_blocks=16, growth_channels=None,
+                                  paired_ways=0):
     """RRDB/ESRGAN generator inference; mode: none|up|2phase|full
     (models/polyphase.py RRDBNetPolyphase variants). num_filters=128 is the
-    lane-filled wide variant (dense convs at 64ch — docs/performance.md)."""
+    lane-filled wide variant (dense convs at 64ch — docs/performance.md).
+    paired_ways packs that many batch items into trunk channels
+    (models/paired.py RRDBNetPaired — lane-fills the 32-wide dense convs
+    with block-diagonal kernels; production tail, mode ignored)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
     from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.models.paired import rrdb_paired_model
     from simplesr_tpu.models.polyphase import rrdb_polyphase_model
 
     model = RRDBNet(upsample_factor=scale, num_filters=num_filters,
@@ -106,7 +111,10 @@ def measure_rrdb_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE,
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.uniform(0, 1, (batch, lr_hw, lr_hw, 3)), jnp.float32)
     variables = model.init(jax.random.key(0), lr[:1])
-    if mode != "none":
+    if paired_ways:
+        model, variables = rrdb_paired_model(model, variables,
+                                             ways=paired_ways)
+    elif mode != "none":
         model, variables = rrdb_polyphase_model(model, variables, mode=mode)
 
     @jax.jit
@@ -339,6 +347,29 @@ def main(argv=None):
             "note": {"device_only_mpix_per_s": round(device, 2),
                      "host_assembly_mpix_per_s": round(host, 2),
                      "e2e_over_device_ratio": round(e2e / device, 3)},
+        }))
+        return
+    if "--rrdb-paired" in argv:
+        # paired trunk on the reference-topology RRDB: dense convs go from
+        # 32 to ways*32 output lanes (block-diag, exact). Compared against
+        # the production lowering at the same total batch.
+        ways = int(argv[argv.index("--rrdb-paired") + 1]) if \
+            len(argv) > argv.index("--rrdb-paired") + 1 and \
+            argv[argv.index("--rrdb-paired") + 1].isdigit() else 2
+        batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv \
+            else 32
+        mpix = measure_rrdb_inference_mpix_s(batch=batch, chain=6,
+                                             paired_ways=ways)
+        base = measure_rrdb_inference_mpix_s(batch=batch, chain=6,
+                                             mode="none")
+        print(json.dumps({
+            "metric": f"rrdb_x4_paired{ways}_b{batch}"
+                      "_inference_output_mpix_per_s",
+            "value": round(mpix, 2),
+            "unit": "MPix/s/chip",
+            "vs_baseline": None,
+            "note": {"unpaired_same_batch_mpix_per_s": round(base, 2),
+                     "paired_over_unpaired": round(mpix / base, 3)},
         }))
         return
     if "--rrdb" in argv:

@@ -23,8 +23,11 @@ from simplesr_tpu.models.polyphase import (
 from simplesr_tpu.models.paired import (
     SRResNetPaired,
     SRResNetPairedPolyphase,
+    RRDBNetPaired,
     paired_model,
     paired_variables,
+    rrdb_paired_model,
+    rrdb_paired_variables,
 )
 
 
@@ -62,6 +65,7 @@ __all__ = [
     "init_vgg_params", "PReLU", "ConvLayer", "SubpixelConvBlock",
     "SRResNetPolyphase", "polyphase_model", "polyphase_variables",
     "SRResNetPaired", "SRResNetPairedPolyphase", "paired_model",
-    "paired_variables",
+    "paired_variables", "RRDBNetPaired", "rrdb_paired_model",
+    "rrdb_paired_variables",
     "build_generator_model",
 ]

@@ -100,21 +100,32 @@ class RRDBNet(nn.Module):
         del train  # no BatchNorm in RRDB — signature kept uniform
         return self._tail(self._features(x))
 
+    def _trunk_width(self) -> int:
+        """Channel width the trunk runs at — widened `ways`-fold by the
+        batch→channel paired inference variant (models/paired.py)."""
+        return self.num_filters
+
+    def _trunk_growth(self):
+        """Dense-conv growth width the trunk runs at (None = width//2,
+        which scales with `_trunk_width` automatically)."""
+        return self.growth_channels
+
     def _features(self, x):
         """Head + RRDB trunk + global scaled skip — shared with the
         polyphase inference variant (models/polyphase.py), which must
         generate the identical parameter tree for this part."""
         init = scaled_he_normal(0.2)
+        width = self._trunk_width()
         x = jnp.asarray(x, self.dtype)
-        x = x_skip = nn.Conv(self.num_filters, (3, 3), padding="SAME",
+        x = x_skip = nn.Conv(width, (3, 3), padding="SAME",
                              kernel_init=init, dtype=self.dtype)(x)
 
         trunk = x
         for _ in range(self.num_rrdb_blocks):
             trunk = RRDBBlock(self.num_dense_blocks, self.num_convs,
-                              self.num_filters, self.kernel_size,
+                              width, self.kernel_size,
                               self.residual_scaling, dtype=self.dtype,
-                              growth_channels=self.growth_channels)(trunk)
+                              growth_channels=self._trunk_growth())(trunk)
         # the reference's rrdb-global scaled skip (_build_rrdb_blocks:363-364)
         # feeds the post-trunk conv, and the UNSCALED head skip wraps the
         # conv (:79). Both adds are parameterless — verified bit-exact
@@ -122,7 +133,7 @@ class RRDBNet(nn.Module):
         # tests/eval/test_import_keras.py (which caught this: round ≤3
         # omitted the scaled inner skip).
         trunk = x_skip + self.residual_scaling * trunk
-        trunk = nn.Conv(self.num_filters, (self.kernel_size, self.kernel_size),
+        trunk = nn.Conv(width, (self.kernel_size, self.kernel_size),
                         padding="SAME", kernel_init=init, dtype=self.dtype)(trunk)
         return x_skip + trunk
 

@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["pack_batch", "unpack_batch", "blockdiag_kernel",
-           "pair_param_tree"]
+           "blockdiag_kernel_segmented", "pair_param_tree"]
 
 
 def pack_batch(x, ways: int):
@@ -57,6 +57,34 @@ def blockdiag_kernel(kernel: np.ndarray, ways: int) -> np.ndarray:
     out = np.zeros((kh, kw, ways * cin, ways * cout), kernel.dtype)
     for j in range(ways):
         out[:, :, j * cin:(j + 1) * cin, j * cout:(j + 1) * cout] = kernel
+    return out
+
+
+def blockdiag_kernel_segmented(kernel: np.ndarray, ways: int,
+                               in_segments) -> np.ndarray:
+    """Block-diagonal expansion for convs whose input is a CONCAT of
+    separately-packed tensors (RRDB dense blocks).
+
+    When each concatenated tensor is itself in packed layout (stream j in
+    channel block j), the concat's channel axis is segment-major:
+    [seg₁·w | seg₂·w | …], with stream j occupying [j·s, (j+1)·s) INSIDE
+    each w·s-wide segment. The expanded kernel routes exactly those slices
+    to stream j's output block; everything else is a structural zero.
+
+    `in_segments` lists the original per-stream segment sizes, in concat
+    order; they must sum to the kernel's Cin."""
+    kh, kw, cin, cout = kernel.shape
+    if sum(in_segments) != cin:
+        raise ValueError(f"segments {in_segments} sum to {sum(in_segments)}"
+                         f" != kernel Cin {cin}")
+    out = np.zeros((kh, kw, ways * cin, ways * cout), kernel.dtype)
+    for j in range(ways):
+        off = 0  # offset into the original (per-stream) input dim
+        for s in in_segments:
+            paired_off = ways * off + j * s
+            out[:, :, paired_off:paired_off + s,
+                j * cout:(j + 1) * cout] = kernel[:, :, off:off + s, :]
+            off += s
     return out
 
 

@@ -18,7 +18,8 @@ from simplesr_tpu.models import SRResNet
 from simplesr_tpu.models.paired import (SRResNetPaired,
                                         SRResNetPairedPolyphase,
                                         paired_model, paired_variables)
-from simplesr_tpu.ops.pairing import (blockdiag_kernel, pack_batch,
+from simplesr_tpu.ops.pairing import (blockdiag_kernel,
+                                      blockdiag_kernel_segmented, pack_batch,
                                       pair_param_tree, unpack_batch)
 
 
@@ -154,6 +155,72 @@ def test_paired_rejects_train_and_wrong_types():
     from simplesr_tpu.models import RRDBNet
     with pytest.raises(TypeError):
         paired_model(RRDBNet(upsample_factor=2, num_filters=8), {})
+
+
+def test_blockdiag_segmented_routes_concat_streams():
+    """Per-stream conv over a concat of two packed tensors == segmented
+    block-diagonal conv over the packed concat."""
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(4, 5, 5, 6)), jnp.float32)   # seg 6
+    b = jnp.asarray(rng.normal(size=(4, 5, 5, 2)), jnp.float32)   # seg 2
+    k = rng.normal(size=(3, 3, 8, 4)).astype(np.float32)
+
+    def conv(x, kk):
+        return lax.conv_general_dilated(
+            x, jnp.asarray(kk), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    per_stream = conv(jnp.concatenate([a, b], -1), k)
+    packed_in = jnp.concatenate([pack_batch(a, 2), pack_batch(b, 2)], -1)
+    packed = conv(packed_in, blockdiag_kernel_segmented(k, 2, [6, 2]))
+    np.testing.assert_allclose(np.asarray(unpack_batch(packed, 2)),
+                               np.asarray(per_stream), atol=1e-5, rtol=1e-5)
+    with pytest.raises(ValueError):
+        blockdiag_kernel_segmented(k, 2, [6, 3])
+
+
+@pytest.mark.parametrize("scale,ways,growth", [(2, 2, None), (4, 2, None),
+                                               (4, 4, None), (4, 2, 16)])
+def test_rrdb_model_equivalence_f32(scale, ways, growth):
+    from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.models.paired import rrdb_paired_model
+
+    model = RRDBNet(upsample_factor=scale, num_filters=8, num_rrdb_blocks=2,
+                    num_dense_blocks=2, num_convs=3, dtype=jnp.float32,
+                    growth_channels=growth)
+    x = jnp.asarray(np.random.default_rng(7).uniform(0, 1, (ways * 2, 6, 6, 3)),
+                    jnp.float32)
+    variables = _rand_variables(model.init(jax.random.key(8), x[:1]), seed=8)
+    ref = model.apply(variables, x, train=False)
+
+    paired, pvars = rrdb_paired_model(model, variables, ways=ways)
+    out = paired.apply(pvars, x, train=False)
+    assert out.shape == ref.shape == (ways * 2, 6 * scale, 6 * scale, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_rrdb_paired_param_tree_matches_module_init():
+    from simplesr_tpu.models import RRDBNet
+    from simplesr_tpu.models.paired import rrdb_paired_model
+
+    model = RRDBNet(upsample_factor=4, num_filters=8, num_rrdb_blocks=1,
+                    num_dense_blocks=1, num_convs=2, dtype=jnp.float32)
+    x = jnp.zeros((2, 6, 6, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1])
+    paired, pvars = rrdb_paired_model(model, variables, ways=2)
+    native = paired.init(jax.random.key(0), x)
+    native_shapes = jax.tree.map(lambda l: (l.shape, l.dtype), native)
+    conv_shapes = jax.tree.map(lambda l: (l.shape, l.dtype), pvars)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b,
+                                     native_shapes, conv_shapes))
+
+
+def test_rrdb_paired_rejects_non_rrdb():
+    from simplesr_tpu.models.paired import rrdb_paired_model
+    model = SRResNet(upsample_factor=2, num_filters=8, num_res_blocks=1)
+    with pytest.raises(TypeError):
+        rrdb_paired_model(model, {})
 
 
 def test_indivisible_batch_raises_at_apply():
