@@ -325,6 +325,14 @@ def collect_default():
     }
 
 
+def _flag_int(argv, flag, default):
+    """Optional integer following `flag` (absent or non-numeric → default)."""
+    if flag not in argv:
+        return default
+    i = argv.index(flag) + 1
+    return int(argv[i]) if i < len(argv) and argv[i].isdigit() else default
+
+
 def main(argv=None):
     import sys
     argv = sys.argv[1:] if argv is None else argv
@@ -353,11 +361,10 @@ def main(argv=None):
         # paired trunk on the reference-topology RRDB: dense convs go from
         # 32 to ways*32 output lanes (block-diag, exact). Compared against
         # the production lowering at the same total batch.
-        ways = int(argv[argv.index("--rrdb-paired") + 1]) if \
-            len(argv) > argv.index("--rrdb-paired") + 1 and \
-            argv[argv.index("--rrdb-paired") + 1].isdigit() else 2
-        batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv \
-            else 32
+        ways = _flag_int(argv, "--rrdb-paired", 2)
+        if ways < 2:
+            raise SystemExit(f"--rrdb-paired ways must be >= 2, got {ways}")
+        batch = _flag_int(argv, "--batch", 32)
         mpix = measure_rrdb_inference_mpix_s(batch=batch, chain=6,
                                              paired_ways=ways)
         base = measure_rrdb_inference_mpix_s(batch=batch, chain=6,
@@ -399,11 +406,10 @@ def main(argv=None):
         # diagonal lane-fill rewrite vs the plain polyphase lowering at the
         # same total batch. The lever needs batch ≥ 2·saturation (pairing
         # halves the effective batch the conv sees), so default batch 32.
-        ways = int(argv[argv.index("--paired") + 1]) if \
-            len(argv) > argv.index("--paired") + 1 and \
-            argv[argv.index("--paired") + 1].isdigit() else 2
-        batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv \
-            else 32
+        ways = _flag_int(argv, "--paired", 2)
+        if ways < 2:
+            raise SystemExit(f"--paired ways must be >= 2, got {ways}")
+        batch = _flag_int(argv, "--batch", 32)
         polyphase = "--no-poly" not in argv
         mpix = measure_inference_mpix_s(batch=batch, paired_ways=ways,
                                         polyphase=polyphase, chain=15)

@@ -33,33 +33,66 @@ import sys
 import time
 
 
+def _kill_group(proc, grace=10.0):
+    """SIGTERM the child's process group, escalate to SIGKILL after `grace`
+    seconds (without waiting it out if the child dies sooner)."""
+    try:
+        os.killpg(proc.pid, signal.SIGTERM)
+    except ProcessLookupError:
+        return
+    deadline = time.monotonic() + grace
+    while proc.poll() is None and time.monotonic() < deadline:
+        time.sleep(0.2)
+    if proc.poll() is None:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+
+
 def run_once(cmd, log_path, stall_seconds, poll=10.0):
     """One attempt: returns the exit code, or None if killed for stalling."""
+    # Children that write to a file (not a tty) block-buffer stdout (~8 KB);
+    # a healthy run printing short progress lines would look silent for
+    # hours. Force line-at-a-time output for Python children — the log's
+    # growth IS the liveness signal.
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
     with open(log_path, "ab", buffering=0) as log:
         proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
-                                start_new_session=True)
-        last_size, last_change = -1, time.monotonic()
-        while True:
-            rc = proc.poll()
-            if rc is not None:
-                return rc
-            size = os.path.getsize(log_path)
-            now = time.monotonic()
-            if size != last_size:
-                last_size, last_change = size, now
-            elif now - last_change > stall_seconds:
-                sys.stderr.write(
-                    f"[watched_run] no output for {int(now - last_change)}s "
-                    f"— killing pid {proc.pid}\n")
-                try:
-                    os.killpg(proc.pid, signal.SIGTERM)
-                    time.sleep(10)
-                    os.killpg(proc.pid, signal.SIGKILL)
-                except ProcessLookupError:
-                    pass
-                proc.wait()
-                return None
-            time.sleep(poll)
+                                start_new_session=True, env=env)
+        try:
+            last_size, last_change = -1, time.monotonic()
+            while True:
+                rc = proc.poll()
+                if rc is not None:
+                    return rc
+                size = os.path.getsize(log_path)
+                now = time.monotonic()
+                if size != last_size:
+                    last_size, last_change = size, now
+                elif now - last_change > stall_seconds:
+                    sys.stderr.write(
+                        f"[watched_run] no output for "
+                        f"{int(now - last_change)}s — killing pid "
+                        f"{proc.pid}\n")
+                    _kill_group(proc)
+                    try:
+                        # a child wedged in uninterruptible device I/O can
+                        # survive SIGKILL until the driver op aborts; don't
+                        # let it wedge the watchdog too
+                        proc.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        sys.stderr.write(
+                            f"[watched_run] pid {proc.pid} unkillable "
+                            "(device-wedged?) — abandoning it\n")
+                    return None
+                time.sleep(poll)
+        finally:
+            # wrapper interrupted/killed: don't leave the (possibly wedged)
+            # child holding the device — it's in its own session, so the
+            # terminal's SIGINT never reaches it
+            if proc.poll() is None:
+                _kill_group(proc)
 
 
 def main(argv=None):

@@ -52,12 +52,9 @@ def unpack_batch(x, ways: int):
 
 def blockdiag_kernel(kernel: np.ndarray, ways: int) -> np.ndarray:
     """(kh, kw, Cin, Cout) → (kh, kw, w·Cin, w·Cout) with `kernel` on the
-    (Cin, Cout) block diagonal — stream j convolves only with stream j."""
-    kh, kw, cin, cout = kernel.shape
-    out = np.zeros((kh, kw, ways * cin, ways * cout), kernel.dtype)
-    for j in range(ways):
-        out[:, :, j * cin:(j + 1) * cin, j * cout:(j + 1) * cout] = kernel
-    return out
+    (Cin, Cout) block diagonal — stream j convolves only with stream j.
+    The single-segment case of `blockdiag_kernel_segmented`."""
+    return blockdiag_kernel_segmented(kernel, ways, [kernel.shape[2]])
 
 
 def blockdiag_kernel_segmented(kernel: np.ndarray, ways: int,

@@ -49,6 +49,19 @@ def test_slow_but_alive_survives(tmp_path):
     assert rc == 0
 
 
+def test_block_buffered_child_survives(tmp_path):
+    # no -u and no flush: a child writing to a file block-buffers stdout.
+    # The wrapper must inject PYTHONUNBUFFERED so short progress lines
+    # still advance the log (the liveness signal) instead of sitting in an
+    # 8KB stdio buffer past the stall threshold.
+    rc = watched_run.main(
+        ["--stall-seconds", "3", "--poll", "0.2", "--retries", "0",
+         "--log", _log(tmp_path), "--", sys.executable, "-c",
+         "import time\n"
+         "for i in range(5): print(i); time.sleep(0.5)"])
+    assert rc == 0
+
+
 def test_no_command_errors(tmp_path):
     import pytest
     with pytest.raises(SystemExit):
