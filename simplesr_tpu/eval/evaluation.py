@@ -38,7 +38,24 @@ _TILE_PATCH = 128
 _TILE_OVERLAP = 32
 
 
-def _as_predictor(model, fast=True, ensemble=False):
+def _pad_to_multiple(fn, ways):
+    """Make a batch-divisibility-constrained predictor safe for any batch:
+    pad with repeats of the first item up to the next multiple of `ways`
+    (batch entries are independent through the convs), slice the padding
+    back off. Shapes stay static under jit (one compile per padded size)."""
+    import jax.numpy as jnp
+
+    def padded(x):
+        b = x.shape[0]
+        r = (-b) % ways
+        if r:
+            x = jnp.concatenate([x, jnp.repeat(x[:1], r, axis=0)], axis=0)
+        return fn(x)[:b]
+
+    return padded
+
+
+def _as_predictor(model, fast=True, ensemble=False, paired=0):
     """Normalize the many accepted model forms into `fn(lr_nhwc) -> sr`.
 
     `fast=True` (default) reparameterizes saved modules for serving when an
@@ -46,7 +63,10 @@ def _as_predictor(model, fast=True, ensemble=False):
     `fast=False` serves the training-form module verbatim. `ensemble=True`
     wraps the predictor in the ×8 geometric self-ensemble
     (ops/ensemble.py) — ~8× the FLOPs for a PSNR bump; on the tiled path
-    the ensemble applies per square tile."""
+    the ensemble applies per square tile. `paired=w` additionally applies
+    the batch→channel paired-trunk rewrite (models/paired.py) to saved
+    SRResNet/RRDB modules; non-divisible batches are padded internally, so
+    the predictor contract is unchanged."""
     from simplesr_tpu.train.sr_model import SRModel
     from simplesr_tpu.train.generator import Generator
     from simplesr_tpu.train import serialization
@@ -54,11 +74,15 @@ def _as_predictor(model, fast=True, ensemble=False):
     from simplesr_tpu.models.polyphase import fast_inference
     from simplesr_tpu.ops.ensemble import ensemble_predictor
 
-    if fast:
-        reparam = fast_inference
+    if fast or paired:
+        reparam = lambda module, variables: fast_inference(
+            module, variables, paired_ways=paired)
     else:  # opt-out: serve the training-form module verbatim
         reparam = lambda module, variables: (module, variables)
     wrap = ensemble_predictor if ensemble else (lambda fn: fn)
+    if paired:
+        inner_wrap, wrap = wrap, (
+            lambda fn: inner_wrap(_pad_to_multiple(fn, paired)))
 
     if isinstance(model, (str, os.PathLike)):
         module, variables = serialization.load_model(str(model))

@@ -118,12 +118,17 @@ class SREngine:
     The socket server uses it for every request."""
 
     def __init__(self, model_path, scale, max_batch=8, max_wait_ms=5,
-                 tile_threshold=1000, fast=True, mesh=None, ensemble=False):
+                 tile_threshold=1000, fast=True, mesh=None, ensemble=False,
+                 paired=0):
         import jax
         import jax.numpy as jnp
         from simplesr_tpu.eval.evaluation import _as_predictor
 
-        base = _as_predictor(model_path, fast=fast, ensemble=ensemble)
+        # paired=w: batch→channel paired trunk (models/paired.py) — the
+        # predictor pads non-divisible batches internally, so the pow2
+        # bucket ladder is unchanged and served bytes stay exact
+        base = _as_predictor(model_path, fast=fast, ensemble=ensemble,
+                             paired=paired)
 
         def u8_wrapper(x_u8):
             sr = base(x_u8.astype(jnp.float32) / 255.0)
@@ -284,16 +289,18 @@ class SREngine:
 
 def serve(model_path, scale, socket_path=None, tcp_port=None, max_batch=8,
           max_wait_ms=5, ready_event=None, stop_event=None, warm_shapes=None,
-          mesh=None, ensemble=False):
+          mesh=None, ensemble=False, paired=0):
     """Run the daemon until stop_event (or forever). `warm_shapes`
     (e.g. ((128, 128),)) pre-compiles those LR buckets in the uint8 dtype
     the socket path serves, before readiness is signaled. `mesh` shards
     request batches over its data axis (multi-chip serving); `ensemble`
-    serves every request through the ×8 geometric self-ensemble."""
+    serves every request through the ×8 geometric self-ensemble; `paired`
+    serves through the batch→channel paired trunk (models/paired.py)."""
     from PIL import Image
 
     engine = SREngine(model_path, scale, max_batch=max_batch,
-                      max_wait_ms=max_wait_ms, mesh=mesh, ensemble=ensemble)
+                      max_wait_ms=max_wait_ms, mesh=mesh, ensemble=ensemble,
+                      paired=paired)
     if warm_shapes:
         engine.warmup(shapes=warm_shapes, u8=True)
 
@@ -427,6 +434,10 @@ def main(argv=None):
     p.add_argument("--ensemble", action="store_true",
                    help="serve through the x8 geometric self-ensemble "
                         "(higher PSNR, ~8x compute per request)")
+    p.add_argument("--paired", type=int, default=0, metavar="W",
+                   help="serve through the batch-to-channel paired trunk "
+                        "(W batch items packed into channels for MXU lane "
+                        "fill; exact rewrite, SRResNet/RRDB)")
     p.add_argument("--client", metavar="ADDR",
                    help="client mode: socket path (or host:port)")
     p.add_argument("--output", default=".", help="[client] output directory")
@@ -481,10 +492,12 @@ def main(argv=None):
         mesh = make_mesh(devices=jax.devices()[:args.mesh_dp])
     print(f"serving {args.model} x{args.scale} on "
           f"{args.socket or f'127.0.0.1:{args.port}'}", flush=True)
+    if args.paired and args.paired < 2:
+        p.error(f"--paired must be >= 2, got {args.paired}")
     serve(args.model, args.scale, socket_path=args.socket,
           tcp_port=args.port, max_batch=args.max_batch,
           max_wait_ms=args.max_wait_ms, warm_shapes=warm, mesh=mesh,
-          ensemble=args.ensemble)
+          ensemble=args.ensemble, paired=args.paired)
     return 0
 
 

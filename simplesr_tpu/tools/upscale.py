@@ -17,7 +17,7 @@ import numpy as np
 
 
 def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000,
-                  fast=True, ensemble=False):
+                  fast=True, ensemble=False, paired=0):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -25,7 +25,8 @@ def upscale_files(model_path, inputs, output_dir, scale, tile_threshold=1000,
     from simplesr_tpu.eval.evaluation import _as_predictor, _upscale
     from simplesr_tpu.eval.rendering import tensor_to_img
 
-    predict = _as_predictor(model_path, fast=fast, ensemble=ensemble)
+    predict = _as_predictor(model_path, fast=fast, ensemble=ensemble,
+                            paired=paired)
     os.makedirs(output_dir, exist_ok=True)
     outputs = []
     for path in inputs:
@@ -59,10 +60,17 @@ def main(argv=None):
     p.add_argument("--ensemble", action="store_true",
                    help="x8 geometric self-ensemble (rotations+flips "
                         "averaged) — higher PSNR at ~8x the compute")
+    p.add_argument("--paired", type=int, default=0, metavar="W",
+                   help="batch-to-channel paired trunk (W items packed "
+                        "into channels for MXU lane fill; exact rewrite — "
+                        "pays off on the tiled/ensemble batched paths)")
     p.add_argument("inputs", nargs="+", help="input image files")
     args = p.parse_args(argv)
+    if args.paired and args.paired < 2:
+        p.error(f"--paired must be >= 2, got {args.paired}")
     upscale_files(args.model, args.inputs, args.output, args.scale,
-                  fast=not args.no_fast, ensemble=args.ensemble)
+                  fast=not args.no_fast, ensemble=args.ensemble,
+                  paired=args.paired)
     return 0
 
 

@@ -199,6 +199,53 @@ def test_persistent_connection_many_requests(model_file, rng, tmp_path):
         server.join(timeout=30)
 
 
+def test_paired_predictor_matches_unpaired_any_batch(model_file, rng):
+    """_as_predictor(paired=2): exact paired-trunk rewrite + internal
+    padding — outputs must match the plain predictor for batches that are
+    and are not multiples of `ways` (incl. batch 1)."""
+    from simplesr_tpu.eval.evaluation import _as_predictor
+
+    plain = _as_predictor(model_file)
+    paired = _as_predictor(model_file, paired=2)
+    for batch in (1, 2, 3, 4):
+        x = jnp.asarray(rng.uniform(0, 1, (batch, 16, 16, 3)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(paired(x)),
+                                   np.asarray(plain(x)),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_paired_predictor_rrdb(tmp_path, rng):
+    from simplesr_tpu.eval.evaluation import _as_predictor
+
+    gen = Generator.rrdb(upsample_factor=2, num_blocks=1, num_filters=8,
+                         dtype=jnp.float32, input_dims=(16, 16))
+    path = str(tmp_path / "rrdb.msgpack")
+    save_model(gen.module_config(), gen.variables, path)
+    plain = _as_predictor(path)
+    paired = _as_predictor(path, paired=2)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 16, 16, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(paired(x)), np.asarray(plain(x)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_engine_paired_serves_identical_bytes(model_file, rng):
+    """SREngine(paired=2) must serve byte-identical uint8 results to the
+    plain engine (exact rewrite + pad/slice through the bucket ladder)."""
+    from simplesr_tpu.tools.serve import SREngine
+
+    img = (rng.uniform(0, 1, (16, 16, 3)) * 255).astype(np.uint8)
+    plain = SREngine(model_file, scale=2, max_batch=2, max_wait_ms=1)
+    want = np.asarray(plain.upscale_u8(img))
+    plain.close()
+    paired = SREngine(model_file, scale=2, max_batch=2, max_wait_ms=1,
+                      paired=2)
+    got = np.asarray(paired.upscale_u8(img))
+    paired.close()
+    # f32 reassociation noise in the larger contraction can flip a value
+    # sitting exactly on a truncation boundary by one count
+    assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+
 def test_engine_ensemble_matches_library_op(model_file, rng):
     """SREngine(ensemble=True) serves exactly self_ensemble of the plain
     predictor, through the f32 and uint8 entry points."""
