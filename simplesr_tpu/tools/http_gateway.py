@@ -30,7 +30,7 @@ MAX_BODY_BYTES = 64 * 1024 * 1024  # refuse absurd uploads before decoding
 
 
 def serve_http(model_path, scale, port, host="127.0.0.1", max_batch=8,
-               max_wait_ms=5, ensemble=False, warm_shapes=None,
+               max_wait_ms=5, ensemble=False, paired=0, warm_shapes=None,
                ready_event=None, stop_event=None, on_server=None):
     """Run the HTTP gateway until `stop_event` (or forever). Returns the
     server object. `on_server(server)` fires after binding but before
@@ -41,13 +41,14 @@ def serve_http(model_path, scale, port, host="127.0.0.1", max_batch=8,
     from simplesr_tpu.tools.serve import SREngine
 
     engine = SREngine(model_path, scale, max_batch=max_batch,
-                      max_wait_ms=max_wait_ms, ensemble=ensemble)
+                      max_wait_ms=max_wait_ms, ensemble=ensemble,
+                      paired=paired)
     if warm_shapes:
         engine.warmup(shapes=warm_shapes, u8=True)
 
     health = json.dumps({
         "status": "ok", "model": str(model_path), "scale": int(scale),
-        "ensemble": bool(ensemble),
+        "ensemble": bool(ensemble), "paired": int(paired),
     }).encode()
 
     class Handler(BaseHTTPRequestHandler):
@@ -131,6 +132,9 @@ def main(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=5)
     p.add_argument("--ensemble", action="store_true",
                    help="serve through the x8 geometric self-ensemble")
+    p.add_argument("--paired", type=int, default=0, metavar="W",
+                   help="serve through the batch-to-channel paired trunk "
+                        "(W items packed into channels for MXU lane fill)")
     p.add_argument("--warm", metavar="HxW[,HxW...]",
                    help="pre-compile these LR shape buckets before serving")
     args = p.parse_args(argv)
@@ -147,9 +151,11 @@ def main(argv=None):
         warm = tuple(warm)
     print(f"http gateway: {args.model} x{args.scale} on "
           f"http://{args.host}:{args.port}", flush=True)
+    if args.paired and args.paired < 2:
+        p.error(f"--paired must be >= 2, got {args.paired}")
     serve_http(args.model, args.scale, args.port, host=args.host,
                max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-               ensemble=args.ensemble, warm_shapes=warm)
+               ensemble=args.ensemble, paired=args.paired, warm_shapes=warm)
     return 0
 
 
