@@ -307,6 +307,28 @@ def collect_default():
                                           growth_channels=128), 2)
     except Exception as e:
         extras["rrdb_error"] = f"{type(e).__name__}: {e}"
+    try:
+        # batch→channel paired trunk (models/paired.py): exact block-diag
+        # lane-fill rewrite; measured against the plain polyphase lowering
+        # at the same total batch (32 — pairing halves the conv batch, and
+        # C=128 needs batch ≥16 for its 155 TFLOP/s peak)
+        base32 = measure_inference_mpix_s(batch=32, chain=15)
+        p32 = measure_inference_mpix_s(batch=32, chain=15, paired_ways=2)
+        extras["srresnet_x4_b32_inference_mpix_per_s"] = round(base32, 2)
+        extras["srresnet_x4_paired2_b32_inference_mpix_per_s"] = round(p32, 2)
+        extras["paired2_over_unpaired_b32"] = round(p32 / base32, 3)
+    except Exception as e:
+        extras["paired_error"] = f"{type(e).__name__}: {e}"
+    try:
+        # same lever on the reference-topology RRDB (dense convs at 32
+        # output lanes): 4-way pairing fills the 128 lanes outright
+        rb = measure_rrdb_inference_mpix_s(batch=32, chain=6, mode="none")
+        rp = measure_rrdb_inference_mpix_s(batch=32, chain=6, paired_ways=4)
+        extras["rrdb_x4_b32_inference_mpix_per_s"] = round(rb, 2)
+        extras["rrdb_x4_paired4_b32_inference_mpix_per_s"] = round(rp, 2)
+        extras["rrdb_paired4_over_unpaired_b32"] = round(rp / rb, 3)
+    except Exception as e:
+        extras["rrdb_paired_error"] = f"{type(e).__name__}: {e}"
     return {
         "metric": "srresnet_x4_inference_output_mpix_per_s",
         "value": round(mpix, 2),
