@@ -5,10 +5,12 @@ from simplesr_tpu.parallel.mesh import (
     make_mesh, data_sharding, spatial_sharding, replicated, shard_batch,
     initialize_multihost, local_batch_slice, DATA_AXIS, SPATIAL_AXIS,
 )
-from simplesr_tpu.parallel.spatial import halo_exchange, spatial_sharded_apply
+from simplesr_tpu.parallel.spatial import (halo_exchange, spatial_sharded_apply,
+                                            spatial_sharded_apply_batched)
 
 __all__ = [
     "make_mesh", "data_sharding", "spatial_sharding", "replicated",
     "shard_batch", "initialize_multihost", "local_batch_slice",
     "DATA_AXIS", "SPATIAL_AXIS", "halo_exchange", "spatial_sharded_apply",
+    "spatial_sharded_apply_batched",
 ]

@@ -14,9 +14,10 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from simplesr_tpu.parallel.mesh import SPATIAL_AXIS
+from simplesr_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
 
-__all__ = ["halo_exchange", "spatial_sharded_apply"]
+__all__ = ["halo_exchange", "spatial_sharded_apply",
+           "spatial_sharded_apply_batched"]
 
 
 def halo_exchange(x, halo: int, axis_name: str):
@@ -78,3 +79,54 @@ def spatial_sharded_apply(apply_fn, image, mesh: Mesh, scale: int,
         check_rep=False,
     )(image)
     return out
+
+
+def spatial_sharded_apply_batched(apply_fn, images, mesh: Mesh, scale: int,
+                                  halo: int = 32, batch_axis: str = DATA_AXIS,
+                                  axis: str = SPATIAL_AXIS):
+    """SR a BATCH of huge images over a 2-D (batch × spatial) mesh.
+
+    The two parallel axes compose orthogonally: the batch splits over
+    `mesh[batch_axis]` (pure SPMD — no collectives) while each image's
+    height splits over `mesh[axis]` with halo rows exchanged between the
+    spatial ring neighbors over ICI, exactly like `spatial_sharded_apply`.
+    This is the serving shape for "many giant images on a slice": e.g. a
+    4×2 v5e-8 mesh runs 4 images at once, each across 2 chips.
+
+    Args:
+      apply_fn: jittable (N, h, W, C) → (N, s·h, s·W, C) generator forward.
+      images: (B, H, W, C); B divisible by the batch axis size, H by the
+        spatial axis size.
+
+    Boundary semantics match `spatial_sharded_apply` (outer borders see
+    zero rows beyond the image once, like the host tiling path).
+
+    Returns: (B, s·H, s·W, C), sharded over both axes.
+    """
+    nb, ns = mesh.shape[batch_axis], mesh.shape[axis]
+    b, h, w, c = images.shape
+    if b % nb != 0:
+        raise ValueError(f"batch {b} not divisible by mesh axis {nb}")
+    if h % ns != 0:
+        raise ValueError(f"image height {h} not divisible by mesh axis {ns}")
+
+    def _local(imgs):
+        # imgs: (B/nb, H/ns, W, C) local shard — halo rows on axis 1
+        n = lax.axis_size(axis)
+        idx = lax.axis_index(axis)
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        from_prev = lax.ppermute(imgs[:, -halo:], axis, fwd)
+        from_next = lax.ppermute(imgs[:, :halo], axis, bwd)
+        top = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
+        bottom = jnp.where(idx == n - 1, jnp.zeros_like(from_next), from_next)
+        strips = jnp.concatenate([top, imgs, bottom], axis=1)
+        sr = apply_fn(strips)
+        return sr[:, halo * scale:-halo * scale if halo else None]
+
+    return shard_map(
+        _local, mesh=mesh,
+        in_specs=P(batch_axis, axis, None, None),
+        out_specs=P(batch_axis, axis, None, None),
+        check_rep=False,
+    )(images)
