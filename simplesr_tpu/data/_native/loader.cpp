@@ -115,8 +115,12 @@ bool decode_jpeg(FILE* f, Image* out) {
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg reports truncated/corrupt streams as WARNINGS and fills the
+  // missing scanlines gray — silently poisoned training data. Strict mode:
+  // any recoverable corruption is a decode failure.
+  bool clean = (jerr.pub.num_warnings == 0);
   jpeg_destroy_decompress(&cinfo);
-  return true;
+  return clean;
 }
 
 bool decode_file(const std::string& path, Image* out) {

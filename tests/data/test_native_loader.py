@@ -56,6 +56,22 @@ def test_missing_file_fails(loader):
         loader.image_size("/no/such/file.png")
 
 
+def test_corrupt_file_fails_cleanly(loader, tmp_path):
+    """Truncated/garbage image bytes must surface as IOError (libpng/libjpeg
+    error trampolines), never a crash or a silent wrong-sized buffer."""
+    bad_png = tmp_path / "bad.png"
+    bad_png.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # header only
+    with pytest.raises(IOError):
+        loader.load_image(str(bad_png))
+    truncated = tmp_path / "trunc.jpg"
+    img = Image.open(LENA).convert("RGB")
+    img.save(str(truncated), quality=90)
+    data = truncated.read_bytes()
+    truncated.write_bytes(data[:len(data) // 4])
+    with pytest.raises(IOError):
+        loader.load_image(str(truncated))
+
+
 def test_pipeline_native_vs_pil_identical_batches():
     """The pipeline must produce identical batches with and without the
     native loader (same seed)."""
