@@ -95,6 +95,16 @@ def bench_engine(model_path, seconds=10.0, clients=32, max_batch=16):
                   "engine_u8", max_batch),
     ]
     engine.close()
+
+    # paired-trunk row (models/paired.py, exact rewrite): same load, the
+    # engine serving through the batch→channel lane-fill lowering
+    paired = SREngine(model_path, SCALE, max_batch=max_batch, max_wait_ms=10,
+                      paired=2)
+    paired.warmup(shapes=((LR_HW, LR_HW),), u8=True)
+    results.append(
+        _run_load(lambda: paired.upscale_u8(img_u8), clients, seconds,
+                  "engine_u8_paired2", max_batch))
+    paired.close()
     return results
 
 def bench_socket(model_path, seconds=10.0, clients=8, max_batch=16):
