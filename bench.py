@@ -355,9 +355,45 @@ def _flag_int(argv, flag, default):
     return int(argv[i]) if i < len(argv) and argv[i].isdigit() else default
 
 
+def _guard_device_liveness(probe_s=300, hard_cap_s=3600):
+    """The dev tunnel can die such that every device op blocks FOREVER (no
+    error). A hung bench records nothing; an explicit failure line is
+    strictly more useful. Probe the device in a daemon thread — if the
+    probe doesn't complete in `probe_s`, print an honest error JSON line
+    and exit. A second timer hard-caps the whole run."""
+    import threading
+
+    def bail(reason):
+        print(json.dumps({
+            "metric": "srresnet_x4_inference_output_mpix_per_s",
+            "value": None, "unit": "MPix/s/chip", "vs_baseline": None,
+            "error": reason}), flush=True)
+        os._exit(3)
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        (jnp.ones((128, 128)) @ jnp.ones((128, 128))).block_until_ready()
+        float(jnp.zeros(()))  # value fetch: the only real barrier
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(probe_s):
+        bail(f"device unreachable: warm-up matmul did not complete in "
+             f"{probe_s}s (dead tunnel?)")
+    cap = threading.Timer(hard_cap_s, bail,
+                          args=(f"bench exceeded {hard_cap_s}s hard cap",))
+    cap.daemon = True  # must not keep a finished bench process alive
+    cap.start()
+
+
 def main(argv=None):
     import sys
     argv = sys.argv[1:] if argv is None else argv
+    if "--no-guard" not in argv:
+        _guard_device_liveness()
     if "--train" in argv:
         ms = measure_train_ms_per_step()
         print(json.dumps({
