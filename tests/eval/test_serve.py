@@ -228,6 +228,21 @@ def test_paired_predictor_rrdb(tmp_path, rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_paired_composes_with_ensemble(model_file, rng):
+    """--ensemble --paired: the self-ensemble wraps the padded paired
+    predictor; output must match ensemble-over-plain (the ensemble's
+    internal batches are whatever the transform groups produce, so the
+    padding path is exercised for real)."""
+    from simplesr_tpu.eval.evaluation import _as_predictor
+
+    plain_ens = _as_predictor(model_file, ensemble=True)
+    paired_ens = _as_predictor(model_file, ensemble=True, paired=2)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(paired_ens(x)),
+                               np.asarray(plain_ens(x)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_engine_paired_serves_identical_bytes(model_file, rng):
     """SREngine(paired=2) must serve byte-identical uint8 results to the
     plain engine (exact rewrite + pad/slice through the bucket ladder)."""
