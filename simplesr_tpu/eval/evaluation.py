@@ -75,8 +75,10 @@ def _as_predictor(model, fast=True, ensemble=False, paired=0):
     from simplesr_tpu.ops.ensemble import ensemble_predictor
 
     if fast or paired:
+        # paired with fast=False keeps the training-form tail (the paired
+        # trunk applies either way; RRDB keeps its production tail always)
         reparam = lambda module, variables: fast_inference(
-            module, variables, paired_ways=paired)
+            module, variables, paired_ways=paired, polyphase=fast)
     else:  # opt-out: serve the training-form module verbatim
         reparam = lambda module, variables: (module, variables)
     wrap = ensemble_predictor if ensemble else (lambda fn: fn)

@@ -223,20 +223,22 @@ def rrdb_polyphase_model(model: RRDBNet, variables, mode="up"):
     return poly, rrdb_polyphase_variables(model, variables, mode)
 
 
-def fast_inference(module, variables, paired_ways=0):
+def fast_inference(module, variables, paired_ways=0, polyphase=True):
     """Best-effort inference reparameterization: polyphase tail for
     SRResNet (measured 2x end-to-end on TPU, bench.py), identity for
     architectures without a rewrite. Safe default for serving paths.
 
     `paired_ways` additionally applies the batch→channel paired-trunk
     rewrite (models/paired.py) where one exists — SRResNet (composed with
-    the polyphase tail) and RRDB. The paired module requires the batch to
-    be divisible by `ways`; serving callers pad
+    the polyphase tail unless `polyphase=False`, i.e. --no-fast) and RRDB
+    (production tail either way — its measured winner). The paired module
+    requires the batch to be divisible by `ways`; serving callers pad
     (evaluation._as_predictor)."""
     if type(module) is SRResNet:
         if paired_ways:
             from simplesr_tpu.models.paired import paired_model
-            return paired_model(module, variables, ways=paired_ways)
+            return paired_model(module, variables, ways=paired_ways,
+                                polyphase=polyphase)
         return polyphase_model(module, variables)
     if type(module) is RRDBNet and paired_ways:
         from simplesr_tpu.models.paired import rrdb_paired_model

@@ -228,6 +228,18 @@ def test_paired_predictor_rrdb(tmp_path, rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_paired_with_no_fast_keeps_training_form_tail(model_file, rng):
+    """fast=False + paired: the paired trunk applies but the tail stays in
+    training form — outputs match the plain no-fast predictor."""
+    from simplesr_tpu.eval.evaluation import _as_predictor
+
+    nofast = _as_predictor(model_file, fast=False)
+    nofast_paired = _as_predictor(model_file, fast=False, paired=2)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 16, 16, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(nofast_paired(x)),
+                               np.asarray(nofast(x)), atol=1e-5, rtol=1e-5)
+
+
 def test_paired_composes_with_ensemble(model_file, rng):
     """--ensemble --paired: the self-ensemble wraps the padded paired
     predictor; output must match ensemble-over-plain (the ensemble's
