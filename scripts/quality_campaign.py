@@ -231,6 +231,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
         [steps_hint // 2, (3 * steps_hint) // 4], [2e-4, 1e-4, 5e-5])
     lr_dims = (CROP // SCALE, CROP // SCALE)
     size = dict(num_blocks=2, num_filters=16) if tiny else {}
+    size["remat"] = REMAT  # --remat: jax.checkpoint'd trunk blocks (docs/training.md)
     if arch == "srresnet":
         gen = Generator.srresnet(upsample_factor=SCALE, batch_norm=False,
                                  input_dims=lr_dims, **size)
@@ -240,10 +241,12 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
         # reduced filter count so the smoke path stays light
         gen = Generator.srresnet(upsample_factor=SCALE, batch_norm=False,
                                  input_dims=lr_dims,
-                                 **(size if tiny else dict(num_filters=128)))
+                                 **(size if tiny else
+                                    dict(num_filters=128, **size)))
     elif arch == "rrdb":
         gen = Generator.rrdb(upsample_factor=SCALE, input_dims=lr_dims,
-                             **(size or dict(num_blocks=RRDB_BLOCKS)))
+                             **(size if tiny else
+                                dict(num_blocks=RRDB_BLOCKS, **size)))
     elif arch == "rrdb_wide":
         # lane-filled RRDB (VERDICT r2: 32-ch dense convs are 1/4 MXU lane
         # fill): nf=128 trunk, growth=128 dense convs (full 128-lane fill),
@@ -253,7 +256,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
         gen = Generator.rrdb(upsample_factor=SCALE, input_dims=lr_dims,
                              **(size if tiny else
                                 dict(num_filters=128, growth_channels=128,
-                                     num_blocks=2)))
+                                     num_blocks=2, **size)))
     elif arch == "srgan":
         gen = Generator.srgan_generator(
             upsample_factor=SCALE, vgg_loss=False, batch_norm=False,
@@ -311,7 +314,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
             ],
             residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
             pretrained_model_path=pretrained_path,
-            **(size or dict(num_blocks=RRDB_BLOCKS)))
+            **(size if tiny else dict(num_blocks=RRDB_BLOCKS, **size)))
         disc = Discriminator.initialize_relativistic(
             input_dims=(CROP, CROP),
             **(dict(num_filters=8) if tiny else {}))
@@ -338,7 +341,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                 RaAdversarialLoss(weighted=True, loss_weight=5e-3),
             ],
             residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
-            **(size or dict(num_blocks=RRDB_BLOCKS)))
+            **(size if tiny else dict(num_blocks=RRDB_BLOCKS, **size)))
         disc = Discriminator.initialize_relativistic(
             input_dims=(CROP, CROP),
             **(dict(num_filters=8) if tiny else {}))
@@ -359,6 +362,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
 
 RRDB_BLOCKS = 8   # --rrdb-blocks; 8 fits the corpus, 16+ = paper capacity
 MAX_EPOCHS = 120  # --epochs
+REMAT = False     # --remat; memory headroom for deep/wide stages
 
 
 def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
@@ -503,7 +507,9 @@ def _parse_cli(argv):
             OUT_DIR = OUT_DIR.rstrip("/") + f"_x{SCALE}"
     if "--out" in argv:  # e.g. smoke runs — don't merge into committed results
         OUT_DIR = argv[argv.index("--out") + 1]
-    global RRDB_BLOCKS, MAX_EPOCHS
+    global RRDB_BLOCKS, MAX_EPOCHS, REMAT
+    if "--remat" in argv:
+        REMAT = True
     if "--rrdb-blocks" in argv:
         RRDB_BLOCKS = int(argv[argv.index("--rrdb-blocks") + 1])
     if "--epochs" in argv:

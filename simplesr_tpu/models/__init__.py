@@ -34,7 +34,7 @@ from simplesr_tpu.models.paired import (
 def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=16,
                           num_filters=64, kernel_size=3, residual_scaling=0.2,
                           batch_norm=True, num_convs=4, num_dense_blocks=3,
-                          dtype=None, growth_channels=None):
+                          dtype=None, growth_channels=None, remat=False):
     """String-dispatched generator construction (reference
     model_builder.build_or_load_generator_model, :13-39). Returns an
     *uninitialized* flax module; parameter loading is handled by the
@@ -51,11 +51,11 @@ def build_generator_model(upsample_factor, architecture="srresnet", num_blocks=1
                        num_rrdb_blocks=num_blocks, num_dense_blocks=num_dense_blocks,
                        num_convs=num_convs, kernel_size=kernel_size,
                        residual_scaling=residual_scaling, dtype=dtype,
-                       growth_channels=growth_channels)
+                       growth_channels=growth_channels, remat=remat)
     if architecture == "srresnet":
         return SRResNet(upsample_factor=upsample_factor, num_filters=num_filters,
                         num_res_blocks=num_blocks, batch_norm=batch_norm,
-                        dtype=dtype)
+                        dtype=dtype, remat=remat)
     raise ValueError("architecture not recognized")
 
 

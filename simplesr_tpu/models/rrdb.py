@@ -88,6 +88,12 @@ class RRDBNet(nn.Module):
     residual_scaling: float = 0.2
     dtype: Any = jnp.bfloat16
     growth_channels: Any = None  # None = num_filters//2 (reference parity)
+    # rematerialize each RRDB block under grad (jax.checkpoint): the dense
+    # concatenations make RRDB's activation footprint ~5× a plain resnet's
+    # per block, so deep trunks OOM long before the MXU is busy — remat
+    # recomputes them in the backward pass instead (tests/models/test_remat.py;
+    # scripts/remat_study.py for the measured memory table).
+    remat: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -121,11 +127,16 @@ class RRDBNet(nn.Module):
                              kernel_init=init, dtype=self.dtype)(x)
 
         trunk = x
-        for _ in range(self.num_rrdb_blocks):
-            trunk = RRDBBlock(self.num_dense_blocks, self.num_convs,
+        # Explicit names pin the parameter tree to "RRDBBlock_i/..." in both
+        # modes (nn.remat's auto-name would be "CheckpointRRDBBlock_i"), so
+        # saved models load across remat settings.
+        block_cls = nn.remat(RRDBBlock) if self.remat else RRDBBlock
+        for i in range(self.num_rrdb_blocks):
+            trunk = block_cls(self.num_dense_blocks, self.num_convs,
                               width, self.kernel_size,
                               self.residual_scaling, dtype=self.dtype,
-                              growth_channels=self._trunk_growth())(trunk)
+                              growth_channels=self._trunk_growth(),
+                              name=f"RRDBBlock_{i}")(trunk)
         # the reference's rrdb-global scaled skip (_build_rrdb_blocks:363-364)
         # feeds the post-trunk conv, and the UNSCALED head skip wraps the
         # conv (:79). Both adds are parameterless — verified bit-exact

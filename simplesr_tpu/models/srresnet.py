@@ -55,6 +55,13 @@ class SRResNet(nn.Module):
     batch_norm: bool = True
     dtype: Any = jnp.bfloat16
     bn_axis_name: Any = None  # set to the data mesh axis for cross-replica BN
+    # rematerialize each residual block under grad (jax.checkpoint): the
+    # backward pass recomputes block activations instead of holding all
+    # 2·num_res_blocks conv outputs in HBM — trades ~1 extra trunk forward
+    # for O(num_res_blocks)→O(1) activation memory, buying batch/depth
+    # headroom on-chip. Exactness + tree-parity pinned by
+    # tests/models/test_remat.py; memory numbers by scripts/remat_study.py.
+    remat: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -81,9 +88,17 @@ class SRResNet(nn.Module):
         x = ConvLayer(width, 9, dtype=self.dtype)(x, train)
         x = x_skip = PReLU()(x)
 
-        for _ in range(self.num_res_blocks):
-            x = ResBlock(width, self.momentum, self.batch_norm,
-                         dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+        # Explicit names pin the parameter tree to "ResBlock_i/..." in both
+        # modes (nn.remat's auto-name would be "CheckpointResBlock_i"), so
+        # checkpoints and saved models move freely between remat settings.
+        # `train` is a Python bool branching inside (BatchNorm), hence
+        # static: argnums count (self, x, train).
+        block_cls = nn.remat(ResBlock, static_argnums=(2,)) if self.remat \
+            else ResBlock
+        for i in range(self.num_res_blocks):
+            x = block_cls(width, self.momentum, self.batch_norm,
+                          dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                          name=f"ResBlock_{i}")(x, train)
 
         x = ConvLayer(width, 3, batch_norm=self.batch_norm,
                       momentum=self.momentum, dtype=self.dtype,

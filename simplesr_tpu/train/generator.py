@@ -42,6 +42,7 @@ class Generator:
                  pretrained_model=None,
                  dtype: Any = None,
                  growth_channels=None,
+                 remat: bool = False,
                  seed: int = 0):
         del kernel_initializer  # architectures pin their paper initializers
         self._architecture = architecture
@@ -72,6 +73,7 @@ class Generator:
         self._kernel_size = kernel_size
         self._residual_scaling = residual_scaling
         self._growth_channels = growth_channels
+        self._remat = remat
         self._batch_norm = batch_norm
         self._input_dims = input_dims
 
@@ -93,7 +95,7 @@ class Generator:
                 kernel_size=kernel_size, residual_scaling=residual_scaling,
                 batch_norm=batch_norm, num_convs=num_convs,
                 num_dense_blocks=num_dense_blocks, dtype=dtype,
-                growth_channels=growth_channels)
+                growth_channels=growth_channels, remat=remat)
             sample_hw = tuple(d or 32 for d in input_dims)
             self._variables = self._module.init(
                 jax.random.key(seed), jnp.zeros((1, *sample_hw, 3)), train=False)
@@ -126,6 +128,7 @@ class Generator:
             kernel_size=self._kernel_size, residual_scaling=self._residual_scaling,
             batch_norm=self._batch_norm,
             growth_channels=self._growth_channels,
+            remat=self._remat,
             dtype=str(jnp.dtype(self._dtype)))
 
     def loss_functions(self):

@@ -81,6 +81,15 @@ def test_from_yaml_training_roundtrip(tmp_path):
     assert conf.epoch_train_summary_writer is not None
 
 
+def test_from_yaml_generator_remat(tmp_path):
+    conf = _training_yaml(tmp_path)
+    conf["model"]["generator"]["remat"] = True
+    _, _, sr_model = ConfigUtil.from_yaml(conf)
+    module = sr_model.generator_wrapper().model()
+    assert module.remat
+    assert sr_model.generator_wrapper().module_config()["remat"] is True
+
+
 def test_from_yaml_gan(tmp_path):
     conf, pipeline, sr_model = ConfigUtil.from_yaml(_training_yaml(tmp_path, gan=True))
     assert sr_model.model_type == "gan"

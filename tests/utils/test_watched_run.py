@@ -40,9 +40,11 @@ def test_stalled_command_is_killed(tmp_path):
 
 
 def test_slow_but_alive_survives(tmp_path):
-    # prints every 0.5 s for 2.5 s: slower than poll, faster than stall
+    # prints every 0.5 s for 2.5 s: slower than poll, faster than stall.
+    # stall-seconds is generous (15) because interpreter startup counts as
+    # silence — under a loaded box 3 s flaked (round-3 full-suite run).
     rc = watched_run.main(
-        ["--stall-seconds", "3", "--poll", "0.2", "--log", _log(tmp_path),
+        ["--stall-seconds", "15", "--poll", "0.2", "--log", _log(tmp_path),
          "--", sys.executable, "-u", "-c",
          "import time\n"
          "for i in range(5): print(i, flush=True); time.sleep(0.5)"])
