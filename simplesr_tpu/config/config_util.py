@@ -149,12 +149,16 @@ class ConfigUtil:
                         shuffle_buffer_size=4096, random_seed=None,
                         resize_filter=None, antialias=True,
                         early_stop_metric="psnr", early_stop_patience=5,
-                        data_parallel=False, ema_decay=None):
+                        data_parallel=False, ema_decay=None,
+                        grad_accum_steps=None):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
         SRModel shards the batch; XLA adds the ICI gradient all-reduce).
         ``ema_decay`` (e.g. 0.999) tracks an EMA shadow of the generator
-        weights inside the fused step and saves it as '*_best_ema'."""
+        weights inside the fused step and saves it as '*_best_ema'.
+        ``grad_accum_steps`` (e.g. 4) accumulates k micro-batch gradients
+        into one averaged optimizer update — k× effective batch at the
+        HBM cost of one micro-batch (docs/training.md)."""
         test_data_paths = ConfigUtil._extract_multiple_data_paths(test_data_path)
         return ConfigUtil(
             train_data_paths=train_data_paths, num_epochs=num_epochs,
@@ -174,11 +178,12 @@ class ConfigUtil:
             early_stop_metric=early_stop_metric,
             early_stop_patience=early_stop_patience,
             results_save_path=results_save_path)._with_data_parallel(
-                data_parallel, ema_decay)
+                data_parallel, ema_decay, grad_accum_steps)
 
-    def _with_data_parallel(self, flag, ema_decay=None):
+    def _with_data_parallel(self, flag, ema_decay=None, grad_accum_steps=None):
         self.data_parallel = bool(flag)
         self.ema_decay = ema_decay
+        self.grad_accum_steps = grad_accum_steps
         return self
 
     @staticmethod

@@ -79,7 +79,8 @@ class SRModel:
                  mesh=None,
                  skip_nonfinite_updates=True,
                  tb_batch_interval=50,
-                 ema_decay=None):
+                 ema_decay=None,
+                 grad_accum_steps=None):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -128,6 +129,32 @@ class SRModel:
         # (reference README.md:97-106; SURVEY.md §5). Wrapping the optimizers
         # in optax.apply_if_finite silently drops steps with non-finite
         # gradients instead of poisoning the params.
+        # Gradient accumulation (beyond-reference knob, companion to the
+        # generator's `remat:` flag): k micro-batches accumulate into one
+        # averaged optimizer update — the effective batch is k× what fits in
+        # HBM at once. BatchNorm stats still update per micro-batch
+        # (standard; equals training at the micro-batch size). The EMA
+        # shadow advances only on macro boundaries so its decay stays
+        # per-*update* (see _build_train_step).
+        if grad_accum_steps is not None and int(grad_accum_steps) < 1:
+            raise ValueError(
+                f"grad_accum_steps must be >= 1, got {grad_accum_steps}")
+        self._grad_accum = 1 if grad_accum_steps is None else int(grad_accum_steps)
+        if self._grad_accum > 1:
+            import optax
+            self._g_tx = optax.MultiSteps(self._g_tx,
+                                          every_k_schedule=self._grad_accum)
+            if self._d_tx is not None:
+                self._d_tx = optax.MultiSteps(self._d_tx,
+                                              every_k_schedule=self._grad_accum)
+
+        # apply_if_finite wraps OUTSIDE MultiSteps: it screens the incoming
+        # micro-gradients, so a non-finite micro-batch is dropped before the
+        # accumulator sees it (MultiSteps zeroes acc_grads by multiplication,
+        # so a NaN reaching it would poison every later macro update —
+        # measured; tests/train/test_grad_accum.py). A dropped micro-step
+        # doesn't advance the accumulation counter: the macro update simply
+        # waits for the next finite micro-batch.
         if skip_nonfinite_updates:
             import optax
             self._g_tx = optax.apply_if_finite(self._g_tx, max_consecutive_errors=100)
@@ -245,6 +272,7 @@ class SRModel:
         disc = self._discriminator
         g_tx, d_tx = self._g_tx, self._d_tx
         ema_decay = self._ema_decay
+        grad_accum = self._grad_accum
 
         def loss_fn(both_params, state, lr, hr, key):
             g_params, d_params = both_params
@@ -291,9 +319,24 @@ class SRModel:
                                                   state.d_params, d_updates)
             g_ema = state.g_ema_params
             if ema_decay is not None:
-                g_ema = jax.tree_util.tree_map(
+                new_ema = jax.tree_util.tree_map(
                     lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
                     g_ema, g_params)
+                if grad_accum > 1:
+                    # advance only when MultiSteps applied the macro update
+                    # (mini_step wrapped to 0), so the EMA decay stays
+                    # per-update — micro-steps leave params unchanged and
+                    # must not bleed the shadow toward them k× as fast.
+                    # walk through wrapper states (apply_if_finite) to the
+                    # MultiStepsState
+                    ms = g_opt_state
+                    while not hasattr(ms, "mini_step"):
+                        ms = ms.inner_state
+                    applied = ms.mini_step == 0
+                    g_ema = jax.tree_util.tree_map(
+                        lambda n, e: jnp.where(applied, n, e), new_ema, g_ema)
+                else:
+                    g_ema = new_ema
             img_metrics = self._image_metric_values(hr, aux["sr"])
             new_state = state.replace(
                 step=state.step + 1,
@@ -769,6 +812,7 @@ class SRModel:
             early_stop_metric=config.early_stop_metric,
             early_stop_patience=config.early_stop_patience,
             ema_decay=getattr(config, "ema_decay", None),
+            grad_accum_steps=getattr(config, "grad_accum_steps", None),
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,
