@@ -150,7 +150,7 @@ class ConfigUtil:
                         resize_filter=None, antialias=True,
                         early_stop_metric="psnr", early_stop_patience=5,
                         data_parallel=False, ema_decay=None,
-                        grad_accum_steps=None):
+                        grad_accum_steps=None, fsdp=False):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
         SRModel shards the batch; XLA adds the ICI gradient all-reduce).
@@ -158,7 +158,9 @@ class ConfigUtil:
         weights inside the fused step and saves it as '*_best_ema'.
         ``grad_accum_steps`` (e.g. 4) accumulates k micro-batch gradients
         into one averaged optimizer update — k× effective batch at the
-        HBM cost of one micro-batch (docs/training.md)."""
+        HBM cost of one micro-batch (docs/training.md).
+        ``fsdp=True`` shards params/optimizer state/EMA across the data
+        axis (ZeRO-3, parallel/fsdp.py) instead of replicating them."""
         test_data_paths = ConfigUtil._extract_multiple_data_paths(test_data_path)
         return ConfigUtil(
             train_data_paths=train_data_paths, num_epochs=num_epochs,
@@ -178,12 +180,14 @@ class ConfigUtil:
             early_stop_metric=early_stop_metric,
             early_stop_patience=early_stop_patience,
             results_save_path=results_save_path)._with_data_parallel(
-                data_parallel, ema_decay, grad_accum_steps)
+                data_parallel, ema_decay, grad_accum_steps, fsdp)
 
-    def _with_data_parallel(self, flag, ema_decay=None, grad_accum_steps=None):
+    def _with_data_parallel(self, flag, ema_decay=None, grad_accum_steps=None,
+                            fsdp=False):
         self.data_parallel = bool(flag)
         self.ema_decay = ema_decay
         self.grad_accum_steps = grad_accum_steps
+        self.fsdp = bool(fsdp)
         return self
 
     @staticmethod

@@ -1,5 +1,6 @@
 """Parallelism layer: mesh construction, data-parallel training shardings,
-spatially-sharded (halo-exchange) inference, multi-host init."""
+FSDP/ZeRO-3 state sharding, spatially-sharded (halo-exchange) inference,
+multi-host init."""
 
 from simplesr_tpu.parallel.mesh import (
     make_mesh, data_sharding, spatial_sharding, replicated, shard_batch,
@@ -7,10 +8,12 @@ from simplesr_tpu.parallel.mesh import (
 )
 from simplesr_tpu.parallel.spatial import (halo_exchange, spatial_sharded_apply,
                                             spatial_sharded_apply_batched)
+from simplesr_tpu.parallel.fsdp import leaf_spec, state_shardings, shard_count
 
 __all__ = [
     "make_mesh", "data_sharding", "spatial_sharding", "replicated",
     "shard_batch", "initialize_multihost", "local_batch_slice",
     "DATA_AXIS", "SPATIAL_AXIS", "halo_exchange", "spatial_sharded_apply",
     "spatial_sharded_apply_batched",
+    "leaf_spec", "state_shardings", "shard_count",
 ]

@@ -80,7 +80,8 @@ class SRModel:
                  skip_nonfinite_updates=True,
                  tb_batch_interval=50,
                  ema_decay=None,
-                 grad_accum_steps=None):
+                 grad_accum_steps=None,
+                 fsdp=False):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -96,6 +97,12 @@ class SRModel:
 
         self._model_type = model_type.lower()
         self.name = model_type
+        # placement attrs exist before any state restore can run (the
+        # resnet_checkpoint warm start below calls _place_state); the mesh
+        # block further down fills them in
+        self._mesh = None
+        self._fsdp = bool(fsdp)
+        self._state_sharding = None
         self._epochs = 0
         self._iterations = 0
         self._tb_batch_interval = tb_batch_interval
@@ -230,13 +237,24 @@ class SRModel:
             metric_key=early_stop_metric, patience=early_stop_patience)
 
         # Optional device mesh: when set, the jitted steps carry SPMD
-        # shardings — state replicated, batches split on the data axis; XLA
-        # inserts the gradient all-reduce over ICI (no reference counterpart:
-        # the reference has no parallelism of any kind, SURVEY.md §2).
+        # shardings — batches split on the data axis; XLA inserts the
+        # gradient all-reduce over ICI (no reference counterpart: the
+        # reference has no parallelism of any kind, SURVEY.md §2). State is
+        # replicated by default; with fsdp=True every large param/opt/EMA
+        # leaf is instead sharded across the SAME data axis (ZeRO-3: 1/N of
+        # the weights and Adam moments per chip, all-gather at use,
+        # reduce-scattered update — parallel/fsdp.py).
         self._mesh = mesh
         if mesh is not None:
             from simplesr_tpu.parallel.mesh import replicated
-            self._state = jax.device_put(self._state, replicated(mesh))
+            if self._fsdp:
+                from simplesr_tpu.parallel.fsdp import state_shardings
+                self._state_sharding = state_shardings(mesh, self._state)
+            else:
+                self._state_sharding = replicated(mesh)
+            self._state = jax.device_put(self._state, self._state_sharding)
+        elif self._fsdp:
+            raise ValueError("fsdp=True requires a device mesh (mesh=...)")
 
         self._train_step_fn = None
         self._valid_step_fn = None
@@ -351,9 +369,11 @@ class SRModel:
             from simplesr_tpu.parallel.mesh import data_sharding, replicated
             repl = replicated(self._mesh)
             batch_sh = data_sharding(self._mesh)
+            # state rides its own sharding tree: replicated by default,
+            # per-leaf ZeRO-3 shardings under fsdp=True
             return jax.jit(train_step, donate_argnums=(0,),
-                           in_shardings=(repl, batch_sh, batch_sh),
-                           out_shardings=(repl, repl))
+                           in_shardings=(self._state_sharding, batch_sh, batch_sh),
+                           out_shardings=(self._state_sharding, repl))
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_valid_step(self):
@@ -381,7 +401,8 @@ class SRModel:
             repl = replicated(self._mesh)
             batch_sh = data_sharding(self._mesh)
             return jax.jit(valid_step,
-                           in_shardings=(repl, batch_sh, batch_sh, repl),
+                           in_shardings=(self._state_sharding, batch_sh,
+                                         batch_sh, repl),
                            out_shardings=repl)
         return jax.jit(valid_step)
 
@@ -571,8 +592,8 @@ class SRModel:
         template = jax.device_get(self._state_for_ckpt())
         restored = self._ckpt_mgr.restore(
             step, args=ocp.args.StandardRestore(template))
-        self._state = restored.replace(
-            rng=jax.random.wrap_key_data(restored.rng))
+        self._state = self._place_state(restored.replace(
+            rng=jax.random.wrap_key_data(restored.rng)))
 
     def _restore_resnet_checkpoint(self, checkpoint_dir):
         """Warm-start the generator from a pixel-pretrain run's checkpoint
@@ -620,12 +641,12 @@ class SRModel:
         # the train step donates state buffers)
         g_ema = jax.tree_util.tree_map(jnp.array, restored["g_params"]) \
             if self._ema_decay is not None else self._state.g_ema_params
-        self._state = self._state.replace(
+        self._state = self._place_state(self._state.replace(
             step=jnp.asarray(restored["step"]),
             best_metric=jnp.asarray(restored["best_metric"]),
             g_params=restored["g_params"],
             g_batch_stats=restored["g_batch_stats"],
-            g_opt_state=opt_state, g_ema_params=g_ema)
+            g_opt_state=opt_state, g_ema_params=g_ema))
         mgr.close()
 
     def latest_checkpoint(self):
@@ -681,7 +702,15 @@ class SRModel:
         return self._state
 
     def set_state(self, state):
-        self._state = state
+        self._state = self._place_state(state)
+
+    def _place_state(self, state):
+        """Re-place a (possibly host-resident, e.g. checkpoint-restored)
+        state pytree onto the mesh with this model's shardings — replicated,
+        or per-leaf ZeRO-3 under fsdp=True. No-op without a mesh."""
+        if self._state_sharding is None:
+            return state
+        return jax.device_put(state, self._state_sharding)
 
     @property
     def model_type(self):
@@ -795,11 +824,13 @@ class SRModel:
         (reference sr_model.py:704-740). With ``config.data_parallel`` and
         more than one device, training shards over a data mesh."""
         mesh = None
-        if getattr(config, "data_parallel", False):
+        fsdp = bool(getattr(config, "fsdp", False))
+        if getattr(config, "data_parallel", False) or fsdp:
             import jax as _jax
             if len(_jax.devices()) > 1:
                 from simplesr_tpu.parallel import make_mesh
                 mesh = make_mesh()
+        fsdp = fsdp and mesh is not None
         model_type = "resnet" if discriminator is None else "gan"
         return SRModel(
             model_type=model_type, generator=generator,
@@ -813,6 +844,7 @@ class SRModel:
             early_stop_patience=config.early_stop_patience,
             ema_decay=getattr(config, "ema_decay", None),
             grad_accum_steps=getattr(config, "grad_accum_steps", None),
+            fsdp=fsdp,
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,

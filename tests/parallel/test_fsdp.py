@@ -1,0 +1,179 @@
+"""FSDP / ZeRO-3 state sharding (parallel/fsdp.py, SRModel(fsdp=True)) on
+the 8-virtual-device CPU mesh: sharding-rule unit tests, actual placement
+(each chip holds 1/N of the big leaves), numeric equivalence with
+single-device training, and checkpoint-restore re-placement.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from simplesr_tpu.parallel import (
+    make_mesh, leaf_spec, state_shardings, shard_count, DATA_AXIS,
+)
+
+
+def test_leaf_spec_rules():
+    # conv kernel (3,3,64,64): both channel dims divide 8; ties at 64 → the
+    # LAST such axis (out-channels)
+    assert leaf_spec((3, 3, 64, 64), 8) == P(None, None, None, DATA_AXIS)
+    # largest divisible axis wins
+    assert leaf_spec((3, 3, 64, 128), 8) == P(None, None, None, DATA_AXIS)
+    # (trailing dims are implicitly unsharded — specs stop at the sharded axis)
+    assert leaf_spec((3, 3, 128, 64), 8) == P(None, None, DATA_AXIS)
+    # nothing divides → replicate
+    assert leaf_spec((3, 3, 3, 9), 8) == P()
+    # small leaves replicate even when divisible
+    assert leaf_spec((8,), 8) == P()
+    assert leaf_spec((64,), 8, min_elems=16) == P(DATA_AXIS)
+
+
+def _build(tmp_path, mesh, fsdp, tag, optimizer="SGD", ema=None, lr=0.1):
+    from simplesr_tpu.train import Generator, SRModel
+
+    gen = Generator.srresnet(upsample_factor=2, num_blocks=1, num_filters=16,
+                             dtype=jnp.float32, input_dims=(8, 8))
+
+    class Cfg:
+        model_dir = str(tmp_path / f"m{tag}")
+        checkpoint_dir = str(tmp_path / f"c{tag}")
+        early_stop_metric = "psnr"; early_stop_patience = 10
+        epoch_train_summary_writer = None; batch_train_summary_writer = None
+        epoch_validation_summary_writer = None
+        batch_validation_summary_writer = None
+
+    return SRModel(model_type="resnet", generator=gen,
+                   generator_optimizer=optimizer,
+                   generator_optimizer_config={"learning_rate": lr},
+                   config=Cfg, mesh=mesh, fsdp=fsdp, seed=0, ema_decay=ema)
+
+
+def test_state_actually_sharded(tmp_path):
+    model = _build(tmp_path, make_mesh(), fsdp=True, tag="s")
+    shardings = model._state_sharding
+    assert shard_count(shardings) > 0
+    # a big conv kernel leaf: per-device shard is 1/8 of the global array
+    leaves = [l for l in jax.tree_util.tree_leaves(model.state.g_params)
+              if l.size >= 2 ** 11]
+    assert leaves, "expected at least one sharded-size param leaf"
+    for leaf in leaves:
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert any(s is not None for s in leaf.sharding.spec)
+        shard = leaf.addressable_shards[0].data
+        assert shard.size * 8 == leaf.size
+
+
+def test_fsdp_requires_mesh(tmp_path):
+    with pytest.raises(ValueError):
+        _build(tmp_path, None, fsdp=True, tag="e")
+
+
+def test_fsdp_training_matches_single_device(rng, tmp_path):
+    """ZeRO-3 is a layout change, not a semantics change: same data, same
+    init → same params as unsharded single-device training."""
+    lr = rng.uniform(0, 1, size=(8, 8, 8, 3)).astype(np.float32)
+    hr = rng.uniform(-1, 1, size=(8, 16, 16, 3)).astype(np.float32)
+
+    single = _build(tmp_path, None, fsdp=False, tag="1")
+    fsdp = _build(tmp_path, make_mesh(), fsdp=True, tag="8")
+    for _ in range(3):
+        single.train_step(lr, hr)
+        fsdp.train_step(lr, hr)
+        single.validation_step(lr, hr)
+        fsdp.validation_step(lr, hr)
+
+    a = jax.tree_util.tree_leaves(jax.device_get(single.state.g_params))
+    b = jax.tree_util.tree_leaves(jax.device_get(fsdp.state.g_params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5)
+
+
+def test_fsdp_composes_with_ema_and_adam(rng, tmp_path):
+    """Adam moments and the EMA shadow ride the same per-leaf shardings."""
+    lr = rng.uniform(0, 1, size=(8, 8, 8, 3)).astype(np.float32)
+    hr = rng.uniform(-1, 1, size=(8, 16, 16, 3)).astype(np.float32)
+    # small lr: Adam's sqrt(nu) normalization turns f32 reduction-order
+    # noise on near-zero-gradient leaves into O(lr) update divergence —
+    # this test checks the sharded COMPOSITION, not tight equivalence
+    # (that's test_fsdp_training_matches_single_device, on SGD)
+    single = _build(tmp_path, None, fsdp=False, tag="a1",
+                    optimizer="Adam", ema=0.9, lr=1e-3)
+    fsdp = _build(tmp_path, make_mesh(), fsdp=True, tag="a8",
+                  optimizer="Adam", ema=0.9, lr=1e-3)
+    for _ in range(2):
+        single.train_step(lr, hr)
+        fsdp.train_step(lr, hr)
+    for tree in ("g_params", "g_ema_params"):
+        a = jax.tree_util.tree_leaves(jax.device_get(getattr(single.state, tree)))
+        b = jax.tree_util.tree_leaves(jax.device_get(getattr(fsdp.state, tree)))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4)
+
+
+def test_all_memory_levers_compose(rng, tmp_path):
+    """fsdp + remat + grad accumulation together still equal plain
+    single-device training: 2 half-batch micro-steps on the ZeRO-sharded,
+    rematerialized trunk == 1 full-batch step unsharded/plain."""
+    from simplesr_tpu.train import Generator, SRModel
+
+    def build(mesh, fsdp, remat, accum, tag):
+        # batch_norm off: BN statistics over a half-batch legitimately
+        # differ from full-batch stats — that's a property of accumulation,
+        # not a bug (documented in docs/training.md)
+        gen = Generator.srresnet(upsample_factor=2, num_blocks=1,
+                                 num_filters=16, dtype=jnp.float32,
+                                 input_dims=(8, 8), remat=remat,
+                                 batch_norm=False)
+
+        class Cfg:
+            model_dir = str(tmp_path / f"m{tag}")
+            checkpoint_dir = str(tmp_path / f"c{tag}")
+            early_stop_metric = "psnr"; early_stop_patience = 10
+            epoch_train_summary_writer = None
+            batch_train_summary_writer = None
+            epoch_validation_summary_writer = None
+            batch_validation_summary_writer = None
+
+        return SRModel(model_type="resnet", generator=gen,
+                       generator_optimizer="SGD",
+                       generator_optimizer_config={"learning_rate": 0.1},
+                       config=Cfg, mesh=mesh, fsdp=fsdp, seed=0,
+                       grad_accum_steps=accum)
+
+    lr = rng.uniform(0, 1, size=(16, 8, 8, 3)).astype(np.float32)
+    hr = rng.uniform(-1, 1, size=(16, 16, 16, 3)).astype(np.float32)
+
+    plain = build(None, False, False, None, "p")
+    levers = build(make_mesh(), True, True, 2, "l")
+    plain.train_step(lr, hr)
+    levers.train_step(lr[:8], hr[:8])
+    levers.train_step(lr[8:], hr[8:])
+
+    a = jax.tree_util.tree_leaves(jax.device_get(plain.state.g_params))
+    b = jax.tree_util.tree_leaves(jax.device_get(levers.state.g_params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip_replaces_shardings(rng, tmp_path):
+    """Orbax restore hands back host arrays; the model must re-place them
+    on the ZeRO shardings and keep stepping."""
+    lr = rng.uniform(0, 1, size=(8, 8, 8, 3)).astype(np.float32)
+    hr = rng.uniform(-1, 1, size=(8, 16, 16, 3)).astype(np.float32)
+    model = _build(tmp_path, make_mesh(), fsdp=True, tag="ck")
+    model.before_epoch()
+    model.train_step(lr, hr)
+    model._ckpt_mgr.save(int(model.state.step), args=model._ckpt_args_save())
+    model._ckpt_mgr.wait_until_finished()
+    p1 = jax.device_get(model.state.g_params)
+    model.train_step(lr, hr)  # move past the checkpoint
+    model._restore_latest_checkpoint()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        p1, jax.device_get(model.state.g_params))
+    big = [l for l in jax.tree_util.tree_leaves(model.state.g_params)
+           if l.size >= 2 ** 11]
+    assert all(l.addressable_shards[0].data.size * 8 == l.size for l in big)
+    model.train_step(lr, hr)  # still trains after restore
