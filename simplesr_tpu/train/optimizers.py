@@ -58,6 +58,15 @@ def build_schedule(learning_rate) -> Union[float, optax.Schedule]:
                 init_value=cfg["initial_learning_rate"],
                 decay_steps=cfg["decay_steps"],
                 alpha=cfg.get("alpha", 0.0))
+        if kind in ("warmupcosinedecay", "warmup_cosine_decay"):
+            # linear warmup → cosine decay; the standard large-batch recipe
+            # (pairs with general.grad_accum_steps / data_parallel scaling)
+            return optax.warmup_cosine_decay_schedule(
+                init_value=cfg.get("initial_learning_rate", 0.0),
+                peak_value=cfg["peak_learning_rate"],
+                warmup_steps=cfg["warmup_steps"],
+                decay_steps=cfg["decay_steps"],
+                end_value=cfg.get("end_learning_rate", 0.0))
         raise ValueError(f"unknown schedule kind {kind!r}")
     raise TypeError(f"bad learning_rate spec: {learning_rate!r}")
 

@@ -61,6 +61,16 @@ def test_piecewise_constant_decay_keras_semantics():
     assert float(sched(201)) == pytest.approx(1e-4)
 
 
+def test_warmup_cosine_decay_schedule_spec():
+    from simplesr_tpu.train.optimizers import build_schedule
+    sched = build_schedule({"warmup_cosine_decay": {
+        "peak_learning_rate": 1e-3, "warmup_steps": 10, "decay_steps": 100}})
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(5)) == pytest.approx(5e-4, rel=1e-3)   # linear warmup
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)  # peak
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)  # decayed out
+
+
 def test_lr_schedule_applied_during_training():
     """Reference test_learnrate_scheduling.py:20-58 — the decayed LR takes
     effect at the configured boundaries during real updates."""
