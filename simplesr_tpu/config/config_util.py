@@ -149,7 +149,7 @@ class ConfigUtil:
                         shuffle_buffer_size=4096, random_seed=None,
                         resize_filter=None, antialias=True,
                         early_stop_metric="psnr", early_stop_patience=5,
-                        data_parallel=False, ema_decay=None,
+                        data_parallel=False, ema_decay=None, ema_eval=False,
                         grad_accum_steps=None, fsdp=False):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
@@ -160,7 +160,9 @@ class ConfigUtil:
         into one averaged optimizer update — k× effective batch at the
         HBM cost of one micro-batch (docs/training.md).
         ``fsdp=True`` shards params/optimizer state/EMA across the data
-        axis (ZeRO-3, parallel/fsdp.py) instead of replicating them."""
+        axis (ZeRO-3, parallel/fsdp.py) instead of replicating them.
+        ``ema_eval=True`` validates (and early-stops / selects the best
+        checkpoint) on the EMA shadow — the weights actually shipped."""
         test_data_paths = ConfigUtil._extract_multiple_data_paths(test_data_path)
         return ConfigUtil(
             train_data_paths=train_data_paths, num_epochs=num_epochs,
@@ -180,12 +182,13 @@ class ConfigUtil:
             early_stop_metric=early_stop_metric,
             early_stop_patience=early_stop_patience,
             results_save_path=results_save_path)._with_data_parallel(
-                data_parallel, ema_decay, grad_accum_steps, fsdp)
+                data_parallel, ema_decay, grad_accum_steps, fsdp, ema_eval)
 
     def _with_data_parallel(self, flag, ema_decay=None, grad_accum_steps=None,
-                            fsdp=False):
+                            fsdp=False, ema_eval=False):
         self.data_parallel = bool(flag)
         self.ema_decay = ema_decay
+        self.ema_eval = bool(ema_eval)
         self.grad_accum_steps = grad_accum_steps
         self.fsdp = bool(fsdp)
         return self

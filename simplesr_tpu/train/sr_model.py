@@ -80,6 +80,7 @@ class SRModel:
                  skip_nonfinite_updates=True,
                  tb_batch_interval=50,
                  ema_decay=None,
+                 ema_eval=False,
                  grad_accum_steps=None,
                  fsdp=False):
         if model_type.lower() not in ("gan", "resnet"):
@@ -175,6 +176,9 @@ class SRModel:
         if ema_decay is not None and not 0.0 < float(ema_decay) < 1.0:
             raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
         self._ema_decay = None if ema_decay is None else float(ema_decay)
+        if ema_eval and self._ema_decay is None:
+            raise ValueError("ema_eval=True requires ema_decay")
+        self._ema_eval = bool(ema_eval)
 
         # ---------------------------------------------------------- state
         g_vars = dict(generator.variables)
@@ -380,9 +384,14 @@ class SRModel:
         gan = self._model_type == "gan"
         gen = self._generator
         disc = self._discriminator
+        # ema_eval: validate (and hence early-stop / select the best
+        # checkpoint) on the EMA shadow — the weights actually shipped when
+        # ema_decay is on — instead of the raw params
+        use_ema = self._ema_eval and self._ema_decay is not None
 
         def valid_step(state, lr, hr, key):
-            sr, _ = self._g_apply(state.g_params, state.g_batch_stats, lr, train=False)
+            g_params = state.g_ema_params if use_ema else state.g_params
+            sr, _ = self._g_apply(g_params, state.g_batch_stats, lr, train=False)
             sr = jnp.asarray(sr, jnp.float32)
             sr_critic = hr_critic = None
             d_metrics = {}
@@ -843,6 +852,7 @@ class SRModel:
             early_stop_metric=config.early_stop_metric,
             early_stop_patience=config.early_stop_patience,
             ema_decay=getattr(config, "ema_decay", None),
+            ema_eval=getattr(config, "ema_eval", False),
             grad_accum_steps=getattr(config, "grad_accum_steps", None),
             fsdp=fsdp,
             epoch_train_summary_writer=config.epoch_train_summary_writer,

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from simplesr_tpu.train import Generator, SRModel, load_model
 
 
-def _tiny_model(tmp_path, ema_decay=None):
+def _tiny_model(tmp_path, ema_decay=None, ema_eval=False):
     gen = Generator.srresnet(upsample_factor=2, num_blocks=1, num_filters=8,
                              batch_norm=False, dtype=jnp.float32,
                              input_dims=(16, 16))
@@ -29,7 +29,7 @@ def _tiny_model(tmp_path, ema_decay=None):
     return SRModel(model_type="resnet", generator=gen,
                    generator_optimizer="Adam",
                    generator_optimizer_config={"learning_rate": 1e-3},
-                   config=Cfg, ema_decay=ema_decay)
+                   config=Cfg, ema_decay=ema_decay, ema_eval=ema_eval)
 
 
 def _batch(rng, n=2, hw=16, scale=2):
@@ -110,3 +110,33 @@ def test_checkpoint_roundtrip_preserves_ema(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(got),
                     jax.tree_util.tree_leaves(want)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ema_eval_validates_on_the_shadow(tmp_path, rng):
+    """ema_eval=True: the validation metrics (hence early stop / best
+    checkpoint selection) come from the EMA shadow, not the raw params —
+    proven by corrupting the shadow and watching validation react."""
+    model = _tiny_model(tmp_path / "a", ema_decay=0.9, ema_eval=True)
+    raw_model = _tiny_model(tmp_path / "b", ema_decay=0.9, ema_eval=False)
+    lr, hr = _batch(rng)
+
+    def valid_psnr(m):
+        m.before_epoch()
+        m.validation_step(lr, hr)
+        return float(m._valid_epoch_metrics.ensure("psnr").result())
+
+    # identical seeds + EMA==params at init → identical validation
+    assert valid_psnr(model) == pytest.approx(valid_psnr(raw_model), rel=1e-6)
+
+    # corrupt the shadow: ema_eval model must react, raw model must not
+    for m in (model, raw_model):
+        m.set_state(m.state.replace(g_ema_params=jax.tree_util.tree_map(
+            lambda x: x * 5.0 + 1.0, m.state.g_ema_params)))
+    base = valid_psnr(raw_model)
+    assert valid_psnr(raw_model) == pytest.approx(base, rel=1e-6)
+    assert valid_psnr(model) != pytest.approx(base, rel=1e-3)
+
+
+def test_ema_eval_requires_ema_decay(tmp_path):
+    with pytest.raises(ValueError):
+        _tiny_model(tmp_path, ema_decay=None, ema_eval=True)
