@@ -231,22 +231,23 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
         [steps_hint // 2, (3 * steps_hint) // 4], [2e-4, 1e-4, 5e-5])
     lr_dims = (CROP // SCALE, CROP // SCALE)
     size = dict(num_blocks=2, num_filters=16) if tiny else {}
-    size["remat"] = REMAT  # --remat: jax.checkpoint'd trunk blocks (docs/training.md)
+    # --remat (jax.checkpoint'd trunk blocks, docs/training.md) is passed
+    # explicitly to every factory below, NOT stuffed into `size`, so the
+    # tiny/full sizing expressions stay independent of global knobs
     if arch == "srresnet":
         gen = Generator.srresnet(upsample_factor=SCALE, batch_norm=False,
-                                 input_dims=lr_dims, **size)
+                                 input_dims=lr_dims, remat=REMAT, **size)
     elif arch == "srresnet128":
         # lane-filling variant (docs/performance.md: C=128 fills both MXU
         # dimensions — 155 vs 53 TFLOP/s trunk); tiny smoke runs keep the
         # reduced filter count so the smoke path stays light
         gen = Generator.srresnet(upsample_factor=SCALE, batch_norm=False,
-                                 input_dims=lr_dims,
-                                 **(size if tiny else
-                                    dict(num_filters=128, **size)))
+                                 input_dims=lr_dims, remat=REMAT,
+                                 **(size or dict(num_filters=128)))
     elif arch == "rrdb":
         gen = Generator.rrdb(upsample_factor=SCALE, input_dims=lr_dims,
-                             **(size if tiny else
-                                dict(num_blocks=RRDB_BLOCKS, **size)))
+                             remat=REMAT,
+                             **(size or dict(num_blocks=RRDB_BLOCKS)))
     elif arch == "rrdb_wide":
         # lane-filled RRDB (VERDICT r2: 32-ch dense convs are 1/4 MXU lane
         # fill): nf=128 trunk, growth=128 dense convs (full 128-lane fill),
@@ -254,13 +255,15 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
         # baseline's 21.7 (2.29×) at MORE FLOPs (scripts note in
         # docs/performance.md).
         gen = Generator.rrdb(upsample_factor=SCALE, input_dims=lr_dims,
-                             **(size if tiny else
-                                dict(num_filters=128, growth_channels=128,
-                                     num_blocks=2, **size)))
+                             remat=REMAT,
+                             **(size or dict(num_filters=128,
+                                             growth_channels=128,
+                                             num_blocks=2)))
     elif arch == "srgan":
         gen = Generator.srgan_generator(
             upsample_factor=SCALE, vgg_loss=False, batch_norm=False,
-            adversarial_loss_weight=1e-3, input_dims=lr_dims, **size)
+            adversarial_loss_weight=1e-3, input_dims=lr_dims, remat=REMAT,
+            **size)
         disc = Discriminator.initialize_standard(
             label_smoothing=True, smoothing_offset=0.2,
             input_dims=(CROP, CROP),
@@ -284,7 +287,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
             upsample_factor=SCALE, architecture="srresnet",
             loss_functions=[lp, AdversarialLoss(weighted=True,
                                                 loss_weight=1e-3)],
-            batch_norm=False, input_dims=lr_dims,
+            batch_norm=False, input_dims=lr_dims, remat=REMAT,
             pretrained_model_path=pretrained_path, **size)
         disc = Discriminator.initialize_standard(
             label_smoothing=True, smoothing_offset=0.2,
@@ -313,8 +316,8 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                 lp,
             ],
             residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
-            pretrained_model_path=pretrained_path,
-            **(size if tiny else dict(num_blocks=RRDB_BLOCKS, **size)))
+            pretrained_model_path=pretrained_path, remat=REMAT,
+            **(size or dict(num_blocks=RRDB_BLOCKS)))
         disc = Discriminator.initialize_relativistic(
             input_dims=(CROP, CROP),
             **(dict(num_filters=8) if tiny else {}))
@@ -341,7 +344,8 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                 RaAdversarialLoss(weighted=True, loss_weight=5e-3),
             ],
             residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
-            **(size if tiny else dict(num_blocks=RRDB_BLOCKS, **size)))
+            remat=REMAT,
+            **(size or dict(num_blocks=RRDB_BLOCKS)))
         disc = Discriminator.initialize_relativistic(
             input_dims=(CROP, CROP),
             **(dict(num_filters=8) if tiny else {}))

@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def build_model(arch, remat, batch, crop, scale, blocks):
+def build_model(arch, remat, crop, scale, blocks):
     from simplesr_tpu.train import Generator, SRModel
     from bench import _train_cfg
 
@@ -94,8 +94,7 @@ def main(argv=None):
         arch, _, blocks = spec.partition(":")
         blocks = int(blocks or 16)
         for remat in (False, True):
-            model = build_model(arch, remat, args.batch, args.crop,
-                                args.scale, blocks)
+            model = build_model(arch, remat, args.crop, args.scale, blocks)
             row = analyze(model, args.batch, args.crop, args.scale, args.steps)
             row.update(arch=arch, blocks=blocks, remat=remat)
             results.append(row)
@@ -111,8 +110,10 @@ def main(argv=None):
     for (arch, blocks), pair in temp.items():
         a, b = pair.get(False, {}), pair.get(True, {})
         ta, tb = a.get("temp_size_in_bytes"), b.get("temp_size_in_bytes")
-        fmt = lambda v: f"{v / 2**20:.0f} MiB" if v else "n/a"
-        ratio = f"{ta / tb:.2f}×" if ta and tb else "n/a"
+        # `is not None`: a genuine 0-byte temp size must print as 0, not
+        # masquerade as "field unavailable on this jaxlib"
+        fmt = lambda v: f"{v / 2**20:.0f} MiB" if v is not None else "n/a"
+        ratio = f"{ta / tb:.2f}×" if ta is not None and tb else "n/a"
         ms = (f"{a.get('ms_per_step', '—')} → {b.get('ms_per_step', '—')}"
               if args.steps else "—")
         print(f"| {arch} | {blocks} | {fmt(ta)} | {fmt(tb)} | {ratio} | {ms} |")

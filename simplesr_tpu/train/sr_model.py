@@ -345,16 +345,21 @@ class SRModel:
                     lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
                     g_ema, g_params)
                 if grad_accum > 1:
-                    # advance only when MultiSteps applied the macro update
-                    # (mini_step wrapped to 0), so the EMA decay stays
-                    # per-update — micro-steps leave params unchanged and
-                    # must not bleed the shadow toward them k× as fast.
-                    # walk through wrapper states (apply_if_finite) to the
-                    # MultiStepsState
-                    ms = g_opt_state
-                    while not hasattr(ms, "mini_step"):
-                        ms = ms.inner_state
-                    applied = ms.mini_step == 0
+                    # advance only when MultiSteps applied the macro update,
+                    # so the EMA decay stays per-update — micro-steps leave
+                    # params unchanged and must not bleed the shadow toward
+                    # them k× as fast. Gate on gradient_step CHANGING (not
+                    # mini_step == 0): when apply_if_finite rejects a
+                    # non-finite micro-batch right after a macro boundary,
+                    # mini_step is still 0 but no update happened — the
+                    # counter comparison stays False there.
+                    def _ms(s):
+                        # walk wrapper states (apply_if_finite) to MultiSteps
+                        while not hasattr(s, "mini_step"):
+                            s = s.inner_state
+                        return s
+                    applied = (_ms(g_opt_state).gradient_step !=
+                               _ms(state.g_opt_state).gradient_step)
                     g_ema = jax.tree_util.tree_map(
                         lambda n, e: jnp.where(applied, n, e), new_ema, g_ema)
                 else:
@@ -839,7 +844,15 @@ class SRModel:
             if len(_jax.devices()) > 1:
                 from simplesr_tpu.parallel import make_mesh
                 mesh = make_mesh()
-        fsdp = fsdp and mesh is not None
+        if fsdp and mesh is None:
+            # don't silently train with replicated state when the config
+            # asked for sharded — the memory budget the user planned for
+            # would be wrong without a trace
+            import logging
+            logging.getLogger("simple_sr").warning(
+                "fsdp: true requested but only one device is visible — "
+                "training with fully replicated state (no sharding)")
+            fsdp = False
         model_type = "resnet" if discriminator is None else "gan"
         return SRModel(
             model_type=model_type, generator=generator,

@@ -103,6 +103,22 @@ def test_ema_advances_per_update_not_per_micro_step(tmp_path):
         expected, jax.device_get(model.state.g_ema_params))
 
 
+def test_ema_ignores_rejected_micro_step_at_macro_boundary(tmp_path):
+    """Regression (r3 code review): right after a macro boundary mini_step
+    is 0; a NaN micro-batch there is rejected by apply_if_finite (params
+    unchanged, MultiSteps untouched) — the EMA gate must read 'no update'
+    from the unchanged gradient_step, not 'update' from mini_step == 0."""
+    lr, hr = _data(4)
+    model = _model(tmp_path, accum=2, ema_decay=0.5)
+    model.before_epoch()
+    model.train_step(lr, hr)
+    model.train_step(lr, hr)  # macro update applied; mini_step wraps to 0
+    ema1 = jax.device_get(model.state.g_ema_params)
+    model.train_step(lr, jnp.full_like(hr, jnp.nan))  # rejected at boundary
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           ema1, jax.device_get(model.state.g_ema_params))
+
+
 def test_nonfinite_micro_step_is_dropped_and_training_recovers(tmp_path):
     # apply_if_finite wraps OUTSIDE MultiSteps: the NaN micro-batch is
     # screened before the accumulator (whose multiply-reset would keep a
