@@ -153,9 +153,11 @@ def main(argv=None):
           f"http://{args.host}:{args.port}", flush=True)
     if args.paired and args.paired < 2:
         p.error(f"--paired must be >= 2, got {args.paired}")
+    from simplesr_tpu.tools.serve import _install_stop_handler
     serve_http(args.model, args.scale, args.port, host=args.host,
                max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-               ensemble=args.ensemble, paired=args.paired, warm_shapes=warm)
+               ensemble=args.ensemble, paired=args.paired, warm_shapes=warm,
+               stop_event=_install_stop_handler())
     return 0
 
 

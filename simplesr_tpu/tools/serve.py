@@ -494,11 +494,27 @@ def main(argv=None):
           f"{args.socket or f'127.0.0.1:{args.port}'}", flush=True)
     if args.paired and args.paired < 2:
         p.error(f"--paired must be >= 2, got {args.paired}")
+    # SIGTERM (systemd/docker stop) must run the same cleanup as Ctrl-C:
+    # unlink the socket, close the engine — otherwise the next start finds
+    # a stale socket and clients see connection-refused mid-drain
+    stop = _install_stop_handler()
     serve(args.model, args.scale, socket_path=args.socket,
           tcp_port=args.port, max_batch=args.max_batch,
           max_wait_ms=args.max_wait_ms, warm_shapes=warm, mesh=mesh,
-          ensemble=args.ensemble, paired=args.paired)
+          ensemble=args.ensemble, paired=args.paired, stop_event=stop)
     return 0
+
+
+def _install_stop_handler():
+    """SIGTERM/SIGINT → a stop event the serve loop waits on (graceful
+    shutdown path; shared by the HTTP gateway)."""
+    import signal
+    import threading
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+    return stop
 
 
 if __name__ == "__main__":

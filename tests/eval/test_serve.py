@@ -296,3 +296,34 @@ def test_engine_ensemble_matches_library_op(model_file, rng):
     want_u8 = np.clip((want_u8 + 1.0) * 127.5, 0, 255).astype(np.int16)
     assert np.abs(out_u8.astype(np.int16) - want_u8).max() <= 1
     engine.close()
+
+
+def test_sigterm_graceful_shutdown(model_file, tmp_path):
+    """CLI server: SIGTERM (systemd/docker stop) must exit cleanly and
+    unlink the Unix socket — the same cleanup path as Ctrl-C."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    sock = str(tmp_path / "sr.sock")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from simplesr_tpu.tools.serve import main\n"
+        f"raise SystemExit(main(['--model', {model_file!r}, '--scale', '2',"
+        f" '--socket', {sock!r}]))\n")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 120
+        while not os.path.exists(sock):
+            assert proc.poll() is None, proc.communicate()[0].decode()
+            assert time.time() < deadline, "server never bound its socket"
+            time.sleep(0.2)
+        proc.send_signal(signal.SIGTERM)
+        out = proc.communicate(timeout=60)[0].decode()
+        assert proc.returncode == 0, out
+        assert not os.path.exists(sock), "stale socket left behind"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
