@@ -56,11 +56,15 @@ def test_block_buffered_child_survives(tmp_path):
     # The wrapper must inject PYTHONUNBUFFERED so short progress lines
     # still advance the log (the liveness signal) instead of sitting in an
     # 8KB stdio buffer past the stall threshold.
+    # Stall threshold sized for CI-load robustness: the stall clock starts
+    # at spawn, so interpreter startup under a loaded box counts as silence.
+    # The child stays discriminating — it runs ~10.8s, well past the 8s
+    # threshold, so block-buffered (silent) output WOULD trigger the kill.
     rc = watched_run.main(
-        ["--stall-seconds", "3", "--poll", "0.2", "--retries", "0",
+        ["--stall-seconds", "8", "--poll", "0.2", "--retries", "0",
          "--log", _log(tmp_path), "--", sys.executable, "-c",
          "import time\n"
-         "for i in range(5): print(i); time.sleep(0.5)"])
+         "for i in range(12): print(i); time.sleep(0.9)"])
     assert rc == 0
 
 
