@@ -21,7 +21,7 @@ every stage would otherwise idle during fill/drain anyway.
 Per-microbatch math is identical to the sequential forward (no reductions
 are introduced), so the pipeline output is bit-for-bit the single-device
 forward up to XLA scheduling; `jax.grad` differentiates straight through
-the scan + ppermute (pinned by tests/parallel/test_pipeline.py).
+the scan + ppermute (pinned by tests/parallel/test_pipeline_parallel.py).
 
 When to use: capability/memory — a trunk too deep for one chip's HBM, or
 pipelining as the second axis of a dp×pp mesh. For SimpleSR-sized models
