@@ -361,12 +361,15 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
     return SRModel(model_type="resnet", generator=gen,
                    generator_optimizer="Adam",
                    generator_optimizer_config={"learning_rate": schedule},
-                   config=_cfg(tmp, patience))
+                   config=_cfg(tmp, patience), distill=DISTILL)
 
 
 RRDB_BLOCKS = 8   # --rrdb-blocks; 8 fits the corpus, 16+ = paper capacity
 MAX_EPOCHS = 120  # --epochs
 REMAT = False     # --remat; memory headroom for deep/wide stages
+DISTILL = None    # --distill teacher.msgpack[:weight] — pixel stages train
+                  # with the frozen-teacher term (train/distill.py); pair
+                  # with --out so distilled results land in their own dir
 
 
 def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
@@ -511,9 +514,22 @@ def _parse_cli(argv):
             OUT_DIR = OUT_DIR.rstrip("/") + f"_x{SCALE}"
     if "--out" in argv:  # e.g. smoke runs — don't merge into committed results
         OUT_DIR = argv[argv.index("--out") + 1]
-    global RRDB_BLOCKS, MAX_EPOCHS, REMAT
+    global RRDB_BLOCKS, MAX_EPOCHS, REMAT, DISTILL
     if "--remat" in argv:
         REMAT = True
+    if "--distill" in argv:
+        spec = argv[argv.index("--distill") + 1]
+        path, weight = spec, 1.0
+        if ":" in spec:
+            head, tail = spec.rsplit(":", 1)
+            try:
+                weight = float(tail)
+                path = head
+            except ValueError:
+                pass  # no numeric tail — the whole spec is the path
+        if not os.path.exists(path):  # fail BEFORE hours of training
+            raise SystemExit(f"--distill teacher not found: {path}")
+        DISTILL = {"model": path, "weight": weight}
     if "--rrdb-blocks" in argv:
         RRDB_BLOCKS = int(argv[argv.index("--rrdb-blocks") + 1])
     if "--epochs" in argv:

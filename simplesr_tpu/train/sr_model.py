@@ -82,7 +82,8 @@ class SRModel:
                  ema_decay=None,
                  ema_eval=False,
                  grad_accum_steps=None,
-                 fsdp=False):
+                 fsdp=False,
+                 distill=None):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -260,6 +261,19 @@ class SRModel:
         elif self._fsdp:
             raise ValueError("fsdp=True requires a device mesh (mesh=...)")
 
+        # Knowledge distillation (beyond-reference knob, train/distill.py):
+        # a frozen teacher runs inside the fused step; its output is an
+        # extra stop-gradiented target for the generator. Resolved last so
+        # the teacher variables can ride the mesh replicated.
+        self._distill = None
+        if distill is not None:
+            from simplesr_tpu.train.distill import build_distiller
+            self._distill = build_distiller(
+                distill,
+                student_upsample_factor=generator.module_config().get(
+                    "upsample_factor"),
+                mesh=self._mesh)
+
         self._train_step_fn = None
         self._valid_step_fn = None
 
@@ -295,6 +309,7 @@ class SRModel:
         g_tx, d_tx = self._g_tx, self._d_tx
         ema_decay = self._ema_decay
         grad_accum = self._grad_accum
+        distiller = self._distill
 
         def loss_fn(both_params, state, lr, hr, key):
             g_params, d_params = both_params
@@ -319,6 +334,13 @@ class SRModel:
                                              hr, train=True)
 
             g_loss, g_metrics = gen.calculate_loss(sr, hr, sr_critic, hr_critic)
+            if distiller is not None:
+                # teacher target: extra generator term, gradient-free on
+                # the teacher side (train/distill.py)
+                d_term, d_term_metrics = distiller.loss_terms(sr, lr)
+                g_loss = g_loss + d_term
+                g_metrics.update(d_term_metrics)
+                g_metrics["generator_loss"] = g_loss
             total = g_loss + d_loss
             aux = dict(sr=sr, g_stats=g_stats, d_stats=d_stats,
                        g_metrics=g_metrics, d_metrics=d_metrics)
@@ -393,6 +415,7 @@ class SRModel:
         # checkpoint) on the EMA shadow — the weights actually shipped when
         # ema_decay is on — instead of the raw params
         use_ema = self._ema_eval and self._ema_decay is not None
+        distiller = self._distill
 
         def valid_step(state, lr, hr, key):
             g_params = state.g_ema_params if use_ema else state.g_params
@@ -406,7 +429,11 @@ class SRModel:
                 hr_critic, _ = self._d_apply(state.d_params, state.d_batch_stats,
                                              hr, train=False)
                 _, d_metrics = disc.calculate_loss(key, sr_critic, hr_critic)
-            _, g_metrics = gen.calculate_loss(sr, hr, sr_critic, hr_critic)
+            g_loss, g_metrics = gen.calculate_loss(sr, hr, sr_critic, hr_critic)
+            if distiller is not None:
+                d_term, d_term_metrics = distiller.loss_terms(sr, lr)
+                g_metrics.update(d_term_metrics)
+                g_metrics["generator_loss"] = g_loss + d_term
             img_metrics = self._image_metric_values(hr, sr)
             return dict(g=g_metrics, d=d_metrics, img=img_metrics)
 
@@ -868,6 +895,7 @@ class SRModel:
             ema_eval=getattr(config, "ema_eval", False),
             grad_accum_steps=getattr(config, "grad_accum_steps", None),
             fsdp=fsdp,
+            distill=getattr(config, "distill", None),
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,
