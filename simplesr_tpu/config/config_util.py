@@ -150,7 +150,8 @@ class ConfigUtil:
                         resize_filter=None, antialias=True,
                         early_stop_metric="psnr", early_stop_patience=5,
                         data_parallel=False, ema_decay=None, ema_eval=False,
-                        grad_accum_steps=None, fsdp=False, distill=None):
+                        grad_accum_steps=None, fsdp=False, distill=None,
+                        async_checkpointing=True):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
         SRModel shards the batch; XLA adds the ICI gradient all-reduce).
@@ -165,7 +166,9 @@ class ConfigUtil:
         checkpoint) on the EMA shadow — the weights actually shipped.
         ``distill`` adds a frozen-teacher loss term to the generator: a
         teacher model path, or ``{model:, weight:, loss:}`` mapping
-        (train/distill.py)."""
+        (train/distill.py).
+        ``async_checkpointing=False`` reverts to blocking Orbax saves
+        (default: the keep-5 save overlaps the next epoch)."""
         test_data_paths = ConfigUtil._extract_multiple_data_paths(test_data_path)
         return ConfigUtil(
             train_data_paths=train_data_paths, num_epochs=num_epochs,
@@ -186,16 +189,18 @@ class ConfigUtil:
             early_stop_patience=early_stop_patience,
             results_save_path=results_save_path)._with_data_parallel(
                 data_parallel, ema_decay, grad_accum_steps, fsdp, ema_eval,
-                distill)
+                distill, async_checkpointing)
 
     def _with_data_parallel(self, flag, ema_decay=None, grad_accum_steps=None,
-                            fsdp=False, ema_eval=False, distill=None):
+                            fsdp=False, ema_eval=False, distill=None,
+                            async_checkpointing=True):
         self.data_parallel = bool(flag)
         self.ema_decay = ema_decay
         self.ema_eval = bool(ema_eval)
         self.grad_accum_steps = grad_accum_steps
         self.fsdp = bool(fsdp)
         self.distill = distill
+        self.async_checkpointing = bool(async_checkpointing)
         return self
 
     @staticmethod

@@ -42,6 +42,17 @@ from simplesr_tpu.train.optimizers import build_optimizer
 from simplesr_tpu.train import serialization
 
 
+# Live Orbax managers by checkpoint path (this process). With async
+# checkpointing a write can still be in flight when ANOTHER SRModel over the
+# same directory reads (fresh-instance resume, GAN warm start from an
+# in-process pretrain) — waiting on the reader's own manager can't help, so
+# readers look the writer's manager up here and wait on IT. Cross-process
+# readers must rely on training ending properly (after_training waits);
+# Orbax commits atomically either way, so a mid-flight read sees "no
+# checkpoint", never a corrupt one.
+_LIVE_CKPT_MANAGERS = {}
+
+
 @struct.dataclass
 class SRTrainState:
     """The full training state pytree (checkpointed as-is)."""
@@ -83,7 +94,8 @@ class SRModel:
                  ema_eval=False,
                  grad_accum_steps=None,
                  fsdp=False,
-                 distill=None):
+                 distill=None,
+                 async_checkpointing=True):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -209,13 +221,28 @@ class SRModel:
             self._restore_resnet_checkpoint(resnet_checkpoint)
 
         # ------------------------------------------------------ checkpoints
+        # Async by default (TPU-native: Orbax snapshots the arrays to host
+        # synchronously inside save() — safe against the donated state
+        # buffers — then writes in a background thread, so the keep-5 save
+        # overlaps the next epoch instead of stalling the loop). Every read
+        # path below calls wait_until_finished() first, so restores/resume
+        # always see a durable checkpoint.
         import orbax.checkpoint as ocp
+        self._async_ckpt = bool(async_checkpointing)
         ckpt_path = os.path.abspath(os.path.join(self._checkpoint_dir, self._model_type))
+        prev_mgr = _LIVE_CKPT_MANAGERS.get(ckpt_path)
+        if prev_mgr is not None:  # drain another instance's in-flight write
+            try:
+                prev_mgr.wait_until_finished()
+            except Exception:
+                pass
         self._ckpt_mgr = ocp.CheckpointManager(
             ckpt_path,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=5, enable_async_checkpointing=False),
+                max_to_keep=5,
+                enable_async_checkpointing=self._async_ckpt),
         )
+        _LIVE_CKPT_MANAGERS[ckpt_path] = self._ckpt_mgr
 
         # ---------------------------------------------------------- metrics
         self._image_metrics = image_metrics if image_metrics is not None else \
@@ -603,7 +630,8 @@ class SRModel:
         if self._early_stopping_util.num_epochs_after_best() == 0:
             self._ckpt_mgr.save(int(self._state.step),
                                 args=self._ckpt_args_save())
-            self._ckpt_mgr.wait_until_finished()
+            if not self._async_ckpt:
+                self._ckpt_mgr.wait_until_finished()
 
     def after_training(self):
         """Restore best checkpoint, save '*_best' model (reference :601-609);
@@ -627,6 +655,7 @@ class SRModel:
 
     def _restore_latest_checkpoint(self):
         import orbax.checkpoint as ocp
+        self._ckpt_mgr.wait_until_finished()  # async saves must be durable
         step = self._ckpt_mgr.latest_step()
         if step is None:
             return
@@ -646,7 +675,14 @@ class SRModel:
         starts fresh (the correct thing: a foreign opt state is meaningless
         to a different optimizer)."""
         import orbax.checkpoint as ocp
-        mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+        target = os.path.abspath(checkpoint_dir)
+        writer = _LIVE_CKPT_MANAGERS.get(target)
+        if writer is not None:  # pretrain ran in this process — drain its
+            try:               # in-flight async save before reading
+                writer.wait_until_finished()
+            except Exception:
+                pass
+        mgr = ocp.CheckpointManager(target)
         step = mgr.latest_step()
         if step is None:
             raise ValueError(f"no checkpoint found in {checkpoint_dir}")
@@ -693,6 +729,7 @@ class SRModel:
     def latest_checkpoint(self):
         """Latest checkpoint step + manager (reference returns the tf
         Checkpoint object, :226-240)."""
+        self._ckpt_mgr.wait_until_finished()
         return self._ckpt_mgr.latest_step(), self._ckpt_mgr
 
     def resume(self):
@@ -700,6 +737,7 @@ class SRModel:
         (full state: params, optimizer, step, best metric, RNG). Returns the
         restored step or None if no checkpoint exists. Closes the reference's
         open 'load GAN checkpoint' TODO (sr_model.py:169)."""
+        self._ckpt_mgr.wait_until_finished()
         step = self._ckpt_mgr.latest_step()
         if step is None:
             return None
@@ -896,6 +934,7 @@ class SRModel:
             grad_accum_steps=getattr(config, "grad_accum_steps", None),
             fsdp=fsdp,
             distill=getattr(config, "distill", None),
+            async_checkpointing=getattr(config, "async_checkpointing", True),
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,
