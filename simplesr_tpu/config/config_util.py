@@ -45,14 +45,17 @@ class ConfigUtil:
                  shuffle_buffer_size=4096, random_seed=None,
                  early_stop_metric="psnr", early_stop_patience=5,
                  save_single=False, grid=False, interpolate=False,
-                 with_original=False, combine_halfs=False):
+                 with_original=False, combine_halfs=False,
+                 save_dir_name=None):
         self.dry_run = dry_run
         self.random_seed = random_seed
         if operation not in AVAILABLE_OPERATIONS:
             raise ValueError(
                 f"operation not recognized - choose one of {AVAILABLE_OPERATIONS}")
         self.operation = operation
-        if self.operation == "testing":
+        if save_dir_name:  # reuse a previous run's dir (resume)
+            self.save_dir_name = save_dir_name
+        elif self.operation == "testing":
             self.save_dir_name = str(time.time())
         else:
             self.save_dir_name = datetime.now().strftime("%Y%m%d-%H%M%S")
@@ -151,7 +154,8 @@ class ConfigUtil:
                         early_stop_metric="psnr", early_stop_patience=5,
                         data_parallel=False, ema_decay=None, ema_eval=False,
                         grad_accum_steps=None, fsdp=False, distill=None,
-                        async_checkpointing=True):
+                        async_checkpointing=True, tensor_parallel=None,
+                        resume=None):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
         SRModel shards the batch; XLA adds the ICI gradient all-reduce).
@@ -168,9 +172,18 @@ class ConfigUtil:
         teacher model path, or ``{model:, weight:, loss:}`` mapping
         (train/distill.py).
         ``async_checkpointing=False`` reverts to blocking Orbax saves
-        (default: the keep-5 save overlaps the next epoch)."""
+        (default: the keep-5 save overlaps the next epoch).
+        ``tensor_parallel=t`` channel-splits the generator over a 'model'
+        mesh axis of size t inside the fused step (dp×tp when devices
+        remain; parallel/tensor.py).
+        ``resume=True`` / ``resume="latest"`` reuses the latest previous
+        run's save dir and continues it from its resume point (see
+        run_training); a run name (or path) under
+        ``<results>/training/`` picks a specific run."""
         test_data_paths = ConfigUtil._extract_multiple_data_paths(test_data_path)
-        return ConfigUtil(
+        reuse_dir = ConfigUtil._resolve_resume_dir(
+            results_save_path, resume) if resume else None
+        cfg = ConfigUtil(
             train_data_paths=train_data_paths, num_epochs=num_epochs,
             batch_size=batch_size, resize_filter=resize_filter,
             antialias=antialias, scale=scale, operation=operation,
@@ -187,13 +200,41 @@ class ConfigUtil:
             shuffle_buffer_size=shuffle_buffer_size, random_seed=random_seed,
             early_stop_metric=early_stop_metric,
             early_stop_patience=early_stop_patience,
-            results_save_path=results_save_path)._with_data_parallel(
+            results_save_path=results_save_path,
+            save_dir_name=reuse_dir)._with_data_parallel(
                 data_parallel, ema_decay, grad_accum_steps, fsdp, ema_eval,
-                distill, async_checkpointing)
+                distill, async_checkpointing, tensor_parallel)
+        cfg.resume = bool(resume)
+        return cfg
+
+    @staticmethod
+    def _resolve_resume_dir(results_save_path, resume):
+        """Map a ``resume`` spec to an existing run-dir NAME under
+        ``<results>/training/``: True/'latest' follows the latest symlink;
+        a run name or a path under that tree names a specific run. The
+        target must contain a checkpoints/ dir (i.e. be a training run)."""
+        base = os.path.realpath(os.path.join(results_save_path, "training"))
+        if resume is True or (isinstance(resume, str)
+                              and resume.lower() == "latest"):
+            target = os.path.join(base, "latest")
+        elif isinstance(resume, str):
+            target = resume if os.path.sep in resume \
+                else os.path.join(base, resume)
+        else:
+            raise ValueError(f"resume must be True/'latest'/a run name or "
+                             f"path, got {resume!r}")
+        target = os.path.realpath(target)
+        if os.path.dirname(target) != base:
+            raise ValueError(f"resume target {target} is not a run under "
+                             f"{base}")
+        if not os.path.isdir(os.path.join(target, "checkpoints")):
+            raise ValueError(f"resume target {target} has no checkpoints/ "
+                             "dir - not a previous training run")
+        return os.path.basename(target)
 
     def _with_data_parallel(self, flag, ema_decay=None, grad_accum_steps=None,
                             fsdp=False, ema_eval=False, distill=None,
-                            async_checkpointing=True):
+                            async_checkpointing=True, tensor_parallel=None):
         self.data_parallel = bool(flag)
         self.ema_decay = ema_decay
         self.ema_eval = bool(ema_eval)
@@ -201,6 +242,7 @@ class ConfigUtil:
         self.fsdp = bool(fsdp)
         self.distill = distill
         self.async_checkpointing = bool(async_checkpointing)
+        self.tensor_parallel = tensor_parallel
         return self
 
     @staticmethod

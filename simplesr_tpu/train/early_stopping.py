@@ -44,3 +44,22 @@ class EarlyStopping:
     @property
     def best_value(self):
         return self._current_best_val
+
+    # ------------------------------------------------- resume serialization
+
+    def state_dict(self):
+        """JSON-serializable counters for preemption-tolerant resume
+        (train/sr_model.py resume_training)."""
+        return {
+            "epochs_without_improvement": self._epochs_without_improvement,
+            "num_epochs_after_best": self._num_epochs_after_best,
+            "early_stop": self._early_stop,
+            "current_best_val": self._current_best_val,
+        }
+
+    def load_state_dict(self, state):
+        self._epochs_without_improvement = int(
+            state["epochs_without_improvement"])
+        self._num_epochs_after_best = int(state["num_epochs_after_best"])
+        self._early_stop = bool(state["early_stop"])
+        self._current_best_val = float(state["current_best_val"])

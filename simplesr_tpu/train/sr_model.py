@@ -95,7 +95,8 @@ class SRModel:
                  grad_accum_steps=None,
                  fsdp=False,
                  distill=None,
-                 async_checkpointing=True):
+                 async_checkpointing=True,
+                 tensor_parallel=False):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -227,22 +228,16 @@ class SRModel:
         # overlaps the next epoch instead of stalling the loop). Every read
         # path below calls wait_until_finished() first, so restores/resume
         # always see a durable checkpoint.
-        import orbax.checkpoint as ocp
         self._async_ckpt = bool(async_checkpointing)
         ckpt_path = os.path.abspath(os.path.join(self._checkpoint_dir, self._model_type))
-        prev_mgr = _LIVE_CKPT_MANAGERS.get(ckpt_path)
-        if prev_mgr is not None:  # drain another instance's in-flight write
-            try:
-                prev_mgr.wait_until_finished()
-            except Exception:
-                pass
-        self._ckpt_mgr = ocp.CheckpointManager(
-            ckpt_path,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=5,
-                enable_async_checkpointing=self._async_ckpt),
-        )
-        _LIVE_CKPT_MANAGERS[ckpt_path] = self._ckpt_mgr
+        # keep-5-on-best manager (restore target for early stop / best saves)
+        self._ckpt_mgr = self._open_ckpt_manager(ckpt_path, keep=5)
+        # keep-1 LAST-state manager: written every epoch (and at preemption)
+        # so an interrupted run resumes from its newest state, not its best
+        self._resume_mgr = self._open_ckpt_manager(ckpt_path + "_resume",
+                                                   keep=1)
+        self._last_resume_step = None
+        self._in_epoch = False
 
         # ---------------------------------------------------------- metrics
         self._image_metrics = image_metrics if image_metrics is not None else \
@@ -288,6 +283,29 @@ class SRModel:
         elif self._fsdp:
             raise ValueError("fsdp=True requires a device mesh (mesh=...)")
 
+        # Tensor-parallel training (beyond-reference knob): the generator
+        # forward inside the fused step runs channel-split over the mesh's
+        # "model" axis (parallel/tensor.py — Megatron SRResNet or
+        # all-column-parallel RRDB). The collectives have exact transposes,
+        # so the backward pass shards the trunk FLOPs the same way; the
+        # state pytree, checkpoints and optimizer are untouched (standard
+        # param tree, replicated). Composes with a "data" batch axis.
+        self._tp_fwd = None
+        if tensor_parallel:
+            from simplesr_tpu.parallel.tensor import tp_apply, MODEL_AXIS
+            from simplesr_tpu.parallel.mesh import DATA_AXIS
+            if self._mesh is None or MODEL_AXIS not in self._mesh.axis_names:
+                raise ValueError(
+                    "tensor_parallel=True requires a mesh with a "
+                    f"'{MODEL_AXIS}' axis (e.g. make_mesh({{'data': d, "
+                    "'model': t}}))")
+            batch_axis = DATA_AXIS if DATA_AXIS in self._mesh.axis_names \
+                else None
+            # fails loudly here on unsupported modules / non-divisible
+            # widths / BatchNorm (tp_apply validates)
+            self._tp_fwd = tp_apply(generator.model(), self._mesh,
+                                    batch_axis=batch_axis)
+
         # Knowledge distillation (beyond-reference knob, train/distill.py):
         # a frozen teacher runs inside the fused step; its output is an
         # extra stop-gradiented target for the generator. Resolved last so
@@ -307,6 +325,10 @@ class SRModel:
     # ================================================== jitted step builders
 
     def _g_apply(self, params, stats, x, train):
+        if self._tp_fwd is not None:
+            # channel-split forward; no BatchNorm by construction (tp_apply
+            # rejects batch_norm=True), so train/eval are the same function
+            return self._tp_fwd(params, x), stats
         variables = {"params": params}
         if stats:
             variables["batch_stats"] = stats
@@ -424,15 +446,30 @@ class SRModel:
                                    img=img_metrics)
 
         if self._mesh is not None:
-            from simplesr_tpu.parallel.mesh import data_sharding, replicated
+            from simplesr_tpu.parallel.mesh import replicated
             repl = replicated(self._mesh)
-            batch_sh = data_sharding(self._mesh)
+            batch_sh = self._batch_sharding()
             # state rides its own sharding tree: replicated by default,
             # per-leaf ZeRO-3 shardings under fsdp=True
             return jax.jit(train_step, donate_argnums=(0,),
                            in_shardings=(self._state_sharding, batch_sh, batch_sh),
                            out_shardings=(self._state_sharding, repl))
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _batch_sharding(self):
+        """Batch inputs shard over the mesh's data axis; a mesh without one
+        (e.g. pure tensor-parallel {'model': n}) replicates the batch."""
+        from simplesr_tpu.parallel.mesh import (DATA_AXIS, data_sharding,
+                                                replicated)
+        if DATA_AXIS in self._mesh.axis_names:
+            return data_sharding(self._mesh)
+        return replicated(self._mesh)
+
+    def _data_axis_size(self):
+        from simplesr_tpu.parallel.mesh import DATA_AXIS
+        if self._mesh is None:
+            return 1
+        return self._mesh.shape.get(DATA_AXIS, 1)
 
     def _build_valid_step(self):
         gan = self._model_type == "gan"
@@ -465,9 +502,9 @@ class SRModel:
             return dict(g=g_metrics, d=d_metrics, img=img_metrics)
 
         if self._mesh is not None:
-            from simplesr_tpu.parallel.mesh import data_sharding, replicated
+            from simplesr_tpu.parallel.mesh import replicated
             repl = replicated(self._mesh)
-            batch_sh = data_sharding(self._mesh)
+            batch_sh = self._batch_sharding()
             return jax.jit(valid_step,
                            in_shardings=(self._state_sharding, batch_sh,
                                          batch_sh, repl),
@@ -484,7 +521,9 @@ class SRModel:
         sharding error; a too-small batch is skipped entirely."""
         if self._mesh is None:
             return lr_batch, hr_batch
-        n = self._mesh.devices.size
+        n = self._data_axis_size()  # model/stage axes don't split the batch
+        if n == 1:
+            return lr_batch, hr_batch
         b = lr_batch.shape[0]
         if b % n == 0:
             return lr_batch, hr_batch
@@ -577,6 +616,7 @@ class SRModel:
         """Reset epoch metrics, bump epoch counter (reference :554-561)."""
         self._reset_epoch_metrics()
         self._epochs += 1
+        self._in_epoch = True
 
     def after_train_batch(self):
         """Log batch metrics to TB + history, reset (reference :519-529).
@@ -633,6 +673,11 @@ class SRModel:
             if not self._async_ckpt:
                 self._ckpt_mgr.wait_until_finished()
 
+        # last-state resume point (keep-1, async): an interrupted run
+        # continues from HERE via resume_training(), not from the best
+        self._in_epoch = False
+        self._save_resume_point(self._epochs, blocking=not self._async_ckpt)
+
     def after_training(self):
         """Restore best checkpoint, save '*_best' model (reference :601-609);
         with EMA tracking on, also '*_best_ema'."""
@@ -648,19 +693,42 @@ class SRModel:
         import orbax.checkpoint as ocp
         return ocp.args.StandardSave(self._state_for_ckpt())
 
+    def _open_ckpt_manager(self, path, keep):
+        """Open an Orbax manager, draining any other in-process instance's
+        in-flight async write to the same directory first (see
+        _LIVE_CKPT_MANAGERS)."""
+        import orbax.checkpoint as ocp
+        prev_mgr = _LIVE_CKPT_MANAGERS.get(path)
+        if prev_mgr is not None:
+            try:
+                prev_mgr.wait_until_finished()
+            except Exception:
+                pass
+        mgr = ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                enable_async_checkpointing=self._async_ckpt),
+        )
+        _LIVE_CKPT_MANAGERS[path] = mgr
+        return mgr
+
     def _state_for_ckpt(self):
         state = self._state
         # orbax can't serialize typed PRNG keys — store raw key data
         return state.replace(rng=jax.random.key_data(state.rng))
 
     def _restore_latest_checkpoint(self):
-        import orbax.checkpoint as ocp
         self._ckpt_mgr.wait_until_finished()  # async saves must be durable
         step = self._ckpt_mgr.latest_step()
         if step is None:
             return
+        self._restore_step(self._ckpt_mgr, step)
+
+    def _restore_step(self, mgr, step):
+        import orbax.checkpoint as ocp
         template = jax.device_get(self._state_for_ckpt())
-        restored = self._ckpt_mgr.restore(
+        restored = mgr.restore(
             step, args=ocp.args.StandardRestore(template))
         self._state = self._place_state(restored.replace(
             rng=jax.random.wrap_key_data(restored.rng)))
@@ -744,6 +812,105 @@ class SRModel:
         self._restore_latest_checkpoint()
         self._iterations = int(self._state.step)
         return step
+
+    # ------------------------------------------ preemption-tolerant resume
+
+    def _resume_meta_path(self):
+        return os.path.join(self._checkpoint_dir,
+                            f"{self._model_type}_resume_meta.json")
+
+    def _save_resume_point(self, completed_epochs, blocking):
+        """Write the keep-1 last-state checkpoint (if the step advanced) +
+        the host-side meta sidecar (epoch counter, early-stop state, epoch
+        histories) — everything resume_training() needs that the device
+        state pytree doesn't carry."""
+        step = int(self._state.step)
+        if step != self._last_resume_step:
+            self._resume_mgr.save(step, args=self._ckpt_args_save())
+            self._last_resume_step = step
+        self._write_resume_meta(completed_epochs)
+        if blocking:
+            self._resume_mgr.wait_until_finished()
+            self._ckpt_mgr.wait_until_finished()
+
+    def save_resume_point(self):
+        """Durably checkpoint the CURRENT state for preemption (SIGTERM on
+        a spot/preemptible TPU VM — train/training.py installs the handler).
+        Blocks until both managers' writes are on disk. A mid-epoch call
+        records the last COMPLETED epoch: the interrupted epoch is re-run
+        on resume, continuing from the preempted state (its partial updates
+        are kept — extra training, never lost work)."""
+        completed = self._epochs - 1 if self._in_epoch else self._epochs
+        self._save_resume_point(max(completed, 0), blocking=True)
+
+    def _write_resume_meta(self, completed_epochs):
+        import json
+
+        def _floats(history):
+            return {k: [float(v) for v in vs] for k, vs in history.items()}
+
+        meta = {
+            "completed_epochs": int(completed_epochs),
+            "iterations": int(self._iterations),
+            "model_type": self._model_type,
+            "early_stop": self._early_stopping_util.state_dict(),
+            "train_epoch_history": _floats(self._train_epoch_history),
+            "valid_epoch_history": _floats(self._valid_epoch_history),
+        }
+        path = self._resume_meta_path()
+        tmp = f"{path}.tmp{os.getpid()}"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+
+    def _read_resume_meta(self):
+        import json
+        try:
+            with open(self._resume_meta_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def resume_training(self):
+        """Resume an interrupted run: restore the newest durable state (the
+        per-epoch last-state resume point when present, else the best
+        checkpoint) plus the host-side counters, early-stop state and epoch
+        histories from the meta sidecar. Returns the number of COMPLETED
+        epochs — run_training continues from there — or None when the
+        checkpoint directory holds nothing to resume. Beyond-reference:
+        the reference restarts preempted runs from scratch (its resume TODO,
+        sr_model.py:169, was never implemented)."""
+        self._ckpt_mgr.wait_until_finished()
+        self._resume_mgr.wait_until_finished()
+        resume_step = self._resume_mgr.latest_step()
+        best_step = self._ckpt_mgr.latest_step()
+        if resume_step is None and best_step is None:
+            return None
+        if resume_step is not None and (best_step is None
+                                        or resume_step >= best_step):
+            self._restore_step(self._resume_mgr, resume_step)
+        else:
+            self._restore_latest_checkpoint()
+        self._iterations = int(self._state.step)
+        self._last_resume_step = int(self._state.step)
+
+        meta = self._read_resume_meta()
+        if meta is None:
+            import logging
+            logging.getLogger("simple_sr").warning(
+                "resume: checkpoint restored but no resume meta found — "
+                "epoch counters and early-stop state start fresh (the "
+                "restored weights act as a warm start)")
+            return 0
+        self._epochs = int(meta["completed_epochs"])
+        self._iterations = int(meta.get("iterations", self._iterations))
+        self._early_stopping_util.load_state_dict(meta["early_stop"])
+        self._train_epoch_history = {
+            k: list(v) for k, v in meta["train_epoch_history"].items()}
+        self._valid_epoch_history = {
+            k: list(v) for k, v in meta["valid_epoch_history"].items()}
+        return self._epochs
 
     def save_model(self, save_path, postfix=None, ema=False):
         """Save the generator as a whole-model file (.h5 equivalent,
@@ -901,10 +1068,22 @@ class SRModel:
              image_metrics=None):
         """Infer model type + pull early-stop/TB config from a ConfigUtil
         (reference sr_model.py:704-740). With ``config.data_parallel`` and
-        more than one device, training shards over a data mesh."""
+        more than one device, training shards over a data mesh;
+        ``config.tensor_parallel: t`` additionally splits the generator's
+        channels over a 'model' axis of size t (dp×tp when devices remain
+        for a data axis)."""
         mesh = None
         fsdp = bool(getattr(config, "fsdp", False))
-        if getattr(config, "data_parallel", False) or fsdp:
+        tp = int(getattr(config, "tensor_parallel", 0) or 0)
+        if tp > 1:
+            import jax as _jax
+            from simplesr_tpu.parallel import make_mesh, MODEL_AXIS, DATA_AXIS
+            ndev = len(_jax.devices())
+            if ndev % tp != 0:
+                raise ValueError(f"tensor_parallel={tp} does not divide the "
+                                 f"{ndev} visible devices")
+            mesh = make_mesh({DATA_AXIS: ndev // tp, MODEL_AXIS: tp})
+        elif getattr(config, "data_parallel", False) or fsdp:
             import jax as _jax
             if len(_jax.devices()) > 1:
                 from simplesr_tpu.parallel import make_mesh
@@ -935,6 +1114,7 @@ class SRModel:
             fsdp=fsdp,
             distill=getattr(config, "distill", None),
             async_checkpointing=getattr(config, "async_checkpointing", True),
+            tensor_parallel=tp > 1,
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,
