@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: tests tests-fast training_example evaluation_example bench graft tensorboard
+.PHONY: tests tests-fast training_example evaluation_example bench graft tensorboard docs
 
 tests:
 	$(PY) -m pytest tests/ -q

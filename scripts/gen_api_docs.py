@@ -19,6 +19,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Doc generation never needs an accelerator — force the CPU backend BEFORE
+# anything can initialize it (a module import that touches jax.devices()
+# would otherwise block on an unreachable TPU tunnel; env vars alone lose
+# to the platform plugin here).
+import jax
+jax.config.update("jax_platforms", "cpu")
+
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "docs", "api")
 PACKAGE = "simplesr_tpu"
