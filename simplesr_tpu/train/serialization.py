@@ -30,11 +30,25 @@ def save_model(module_config: dict, variables, path):
         f.write(flax_ser.msgpack_serialize(payload))
 
 
+def resolve_model_spec(path):
+    """`zoo:<name>` → the committed zoo model's file path (simplesr_tpu.zoo);
+    anything else passes through. Every loader funnels through load_payload,
+    so zoo names work wherever a model path is accepted (warm start,
+    evaluation model_paths, serving --model, distillation teacher,
+    interpolation, Keras export)."""
+    path = str(path)
+    if path.startswith("zoo:"):
+        from simplesr_tpu import zoo
+        return zoo._resolve(path[len("zoo:"):]).path
+    return path
+
+
 def load_payload(path):
     """Read a model file → (module_config_dict, variables) without building
     the module — the raw payload layout in one place, so tools that blend or
-    inspect saved models (tools/interpolate.py) track format changes here."""
-    with open(path, "rb") as f:
+    inspect saved models (tools/interpolate.py) track format changes here.
+    Accepts `zoo:<name>` specs (resolve_model_spec)."""
+    with open(resolve_model_spec(path), "rb") as f:
         payload = flax_ser.msgpack_restore(f.read())
     config = json.loads(payload["config"])
     variables = flax_ser.msgpack_restore(payload["variables"])

@@ -42,6 +42,19 @@ def test_unknown_name_lists_available():
         zoo.load("nope_x9")
 
 
+def test_zoo_spec_resolves_everywhere():
+    # load_payload is the single loader chokepoint: `zoo:<name>` works in
+    # every model-path surface (warm start, serving, distill teacher, ...)
+    from simplesr_tpu.train import serialization
+    entry = zoo.describe("srresnet_x2")
+    assert serialization.resolve_model_spec("zoo:srresnet_x2") == entry.path
+    assert serialization.resolve_model_spec(entry.path) == entry.path
+    cfg, variables = serialization.load_payload("zoo:srresnet_x2")
+    assert "params" in variables
+    with pytest.raises(KeyError):
+        serialization.load_payload("zoo:not_a_model")
+
+
 def test_load_raw_and_predict():
     module, variables = zoo.load_raw("srresnet_x2")
     assert "params" in variables
