@@ -155,6 +155,7 @@ class ConfigUtil:
                         data_parallel=False, ema_decay=None, ema_eval=False,
                         grad_accum_steps=None, fsdp=False, distill=None,
                         async_checkpointing=True, tensor_parallel=None,
+                        pipeline_parallel=None, pipeline_microbatches=None,
                         resume=None):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
@@ -176,6 +177,11 @@ class ConfigUtil:
         ``tensor_parallel=t`` channel-splits the generator over a 'model'
         mesh axis of size t inside the fused step (dp×tp when devices
         remain; parallel/tensor.py).
+        ``pipeline_parallel=s`` stages the SRResNet trunk across a 'stage'
+        mesh axis of size s and streams microbatches through the ring
+        inside the fused step (dp×pp when devices remain;
+        parallel/pipeline.py). ``pipeline_microbatches`` overrides the
+        microbatch count (default: s).
         ``resume=True`` / ``resume="latest"`` reuses the latest previous
         run's save dir and continues it from its resume point (see
         run_training); a run name (or path) under
@@ -203,7 +209,8 @@ class ConfigUtil:
             results_save_path=results_save_path,
             save_dir_name=reuse_dir)._with_data_parallel(
                 data_parallel, ema_decay, grad_accum_steps, fsdp, ema_eval,
-                distill, async_checkpointing, tensor_parallel)
+                distill, async_checkpointing, tensor_parallel,
+                pipeline_parallel, pipeline_microbatches)
         cfg.resume = bool(resume)
         return cfg
 
@@ -234,7 +241,9 @@ class ConfigUtil:
 
     def _with_data_parallel(self, flag, ema_decay=None, grad_accum_steps=None,
                             fsdp=False, ema_eval=False, distill=None,
-                            async_checkpointing=True, tensor_parallel=None):
+                            async_checkpointing=True, tensor_parallel=None,
+                            pipeline_parallel=None,
+                            pipeline_microbatches=None):
         self.data_parallel = bool(flag)
         self.ema_decay = ema_decay
         self.ema_eval = bool(ema_eval)
@@ -243,6 +252,8 @@ class ConfigUtil:
         self.distill = distill
         self.async_checkpointing = bool(async_checkpointing)
         self.tensor_parallel = tensor_parallel
+        self.pipeline_parallel = pipeline_parallel
+        self.pipeline_microbatches = pipeline_microbatches
         return self
 
     @staticmethod

@@ -61,7 +61,7 @@ def stack_block_params(model: SRResNet, params):
 
 
 def pipeline_apply(model: SRResNet, mesh: Mesh, num_microbatches: int,
-                   axis: str = STAGE_AXIS):
+                   axis: str = STAGE_AXIS, batch_axis: str = None):
     """Build the pipeline-parallel forward for a trained SRResNet.
 
     Args:
@@ -72,10 +72,16 @@ def pipeline_apply(model: SRResNet, mesh: Mesh, num_microbatches: int,
       num_microbatches: microbatches per call; the batch must divide by it.
         More microbatches → smaller pipeline bubble (n_stages-1 of
         M+n_stages-1 steps), larger per-step launch overhead.
+      batch_axis: optional mesh axis to shard the microbatch interior over
+        (dp×pp composition — each data shard streams its own microbatches
+        through the same stage ring). Ignored if absent from the mesh.
 
     Returns:
       f(params, x) -> SR batch; `params` is the standard tree.
     """
+    if not isinstance(model, SRResNet):
+        raise ValueError("pipeline forward supports SRResNet trunks, got "
+                         f"{type(model).__name__}")
     if model.batch_norm:
         raise ValueError("pipeline forward supports batch_norm=False models")
     n_stages = mesh.shape[axis]
@@ -114,10 +120,14 @@ def pipeline_apply(model: SRResNet, mesh: Mesh, num_microbatches: int,
         # last stage's drain window out of the stage-sharded result
         return ys[None]
 
+    b_ax = batch_axis if (batch_axis and batch_axis in mesh.shape) else None
     run = shard_map(
         _stage, mesh=mesh,
-        in_specs=((P(axis),) * 5, P()),
-        out_specs=P(axis),
+        # x_mb is (microbatch, batch, h, w, c): microbatch dim replicated
+        # (every stage sees the whole schedule), interior batch dim sharded
+        # over the data axis when composing dp×pp
+        in_specs=((P(axis),) * 5, P(None, b_ax)),
+        out_specs=P(axis, None, b_ax),
         check_rep=False,
     )
 
@@ -125,6 +135,12 @@ def pipeline_apply(model: SRResNet, mesh: Mesh, num_microbatches: int,
         b, h, w, _ = x.shape
         if b % m != 0:
             raise ValueError(f"batch {b} not divisible by microbatches {m}")
+        if b_ax and (b // m) % mesh.shape[b_ax] != 0:
+            raise ValueError(
+                f"microbatch size {b // m} (batch {b} / {m} microbatches) "
+                f"not divisible by the '{b_ax}' mesh axis "
+                f"({mesh.shape[b_ax]}) — dp×pp shards the microbatch "
+                "interior over the data axis")
         x = jnp.asarray(x, dtype)
         c = params["ConvLayer_0"]["Conv_0"]
         x = _conv(x, c["kernel"]) + jnp.asarray(c["bias"], dtype)

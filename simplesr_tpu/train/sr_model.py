@@ -96,7 +96,9 @@ class SRModel:
                  fsdp=False,
                  distill=None,
                  async_checkpointing=True,
-                 tensor_parallel=False):
+                 tensor_parallel=False,
+                 pipeline_parallel=False,
+                 pipeline_microbatches=None):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -306,6 +308,37 @@ class SRModel:
             self._tp_fwd = tp_apply(generator.model(), self._mesh,
                                     batch_axis=batch_axis)
 
+        # Pipeline-parallel training (beyond-reference knob): the generator
+        # trunk is staged across the mesh's "stage" axis and microbatches
+        # stream through the ring (parallel/pipeline.py — GPipe fill/drain
+        # as one lax.scan + ppermute). jax.grad differentiates straight
+        # through the scan, so the SAME schedule shards the backward trunk;
+        # state pytree, optimizer and checkpoints are the standard tree
+        # (replicated). Composes with a "data" batch axis (dp×pp).
+        self._pp_fwd = None
+        if pipeline_parallel:
+            from simplesr_tpu.parallel.pipeline import (STAGE_AXIS,
+                                                        pipeline_apply)
+            from simplesr_tpu.parallel.mesh import DATA_AXIS
+            if tensor_parallel:
+                raise ValueError("pipeline_parallel and tensor_parallel are "
+                                 "mutually exclusive (stage vs channel split "
+                                 "of the same trunk)")
+            if self._mesh is None or STAGE_AXIS not in self._mesh.axis_names:
+                raise ValueError(
+                    "pipeline_parallel=True requires a mesh with a "
+                    f"'{STAGE_AXIS}' axis (e.g. make_mesh({{'data': d, "
+                    "'stage': s}}))")
+            n_stages = self._mesh.shape[STAGE_AXIS]
+            m = int(pipeline_microbatches or n_stages)
+            batch_axis = DATA_AXIS if DATA_AXIS in self._mesh.axis_names \
+                else None
+            # fails loudly here on non-SRResNet / BatchNorm / indivisible
+            # trunks (pipeline_apply validates)
+            self._pp_fwd = pipeline_apply(generator.model(), self._mesh,
+                                          num_microbatches=m,
+                                          batch_axis=batch_axis)
+
         # Knowledge distillation (beyond-reference knob, train/distill.py):
         # a frozen teacher runs inside the fused step; its output is an
         # extra stop-gradiented target for the generator. Resolved last so
@@ -329,6 +362,10 @@ class SRModel:
             # channel-split forward; no BatchNorm by construction (tp_apply
             # rejects batch_norm=True), so train/eval are the same function
             return self._tp_fwd(params, x), stats
+        if self._pp_fwd is not None:
+            # stage-split forward; no BatchNorm by construction
+            # (pipeline_apply rejects it), so train/eval are the same
+            return self._pp_fwd(params, x), stats
         variables = {"params": params}
         if stats:
             variables["batch_stats"] = stats
@@ -1075,7 +1112,19 @@ class SRModel:
         mesh = None
         fsdp = bool(getattr(config, "fsdp", False))
         tp = int(getattr(config, "tensor_parallel", 0) or 0)
-        if tp > 1:
+        pp = int(getattr(config, "pipeline_parallel", 0) or 0)
+        if tp > 1 and pp > 1:
+            raise ValueError("tensor_parallel and pipeline_parallel are "
+                             "mutually exclusive")
+        if pp > 1:
+            import jax as _jax
+            from simplesr_tpu.parallel import make_mesh, STAGE_AXIS, DATA_AXIS
+            ndev = len(_jax.devices())
+            if ndev % pp != 0:
+                raise ValueError(f"pipeline_parallel={pp} does not divide "
+                                 f"the {ndev} visible devices")
+            mesh = make_mesh({DATA_AXIS: ndev // pp, STAGE_AXIS: pp})
+        elif tp > 1:
             import jax as _jax
             from simplesr_tpu.parallel import make_mesh, MODEL_AXIS, DATA_AXIS
             ndev = len(_jax.devices())
@@ -1115,6 +1164,9 @@ class SRModel:
             distill=getattr(config, "distill", None),
             async_checkpointing=getattr(config, "async_checkpointing", True),
             tensor_parallel=tp > 1,
+            pipeline_parallel=pp > 1,
+            pipeline_microbatches=getattr(config, "pipeline_microbatches",
+                                          None),
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,
