@@ -156,7 +156,7 @@ class ConfigUtil:
                         grad_accum_steps=None, fsdp=False, distill=None,
                         async_checkpointing=True, tensor_parallel=None,
                         pipeline_parallel=None, pipeline_microbatches=None,
-                        resume=None):
+                        device_resident="auto", resume=None):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
         SRModel shards the batch; XLA adds the ICI gradient all-reduce).
@@ -212,6 +212,9 @@ class ConfigUtil:
                 distill, async_checkpointing, tensor_parallel,
                 pipeline_parallel, pipeline_microbatches)
         cfg.resume = bool(resume)
+        # data: device-resident crop pool gate (docs/data.md) — "auto"
+        # uploads small corpora once and gathers crops on device
+        cfg.device_resident = device_resident
         return cfg
 
     @staticmethod

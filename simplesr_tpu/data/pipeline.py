@@ -119,7 +119,9 @@ class DataPipeline:
                  drop_remainder=False,
                  use_native=True,
                  num_workers=None,
-                 device_prefetch=4):
+                 device_prefetch=4,
+                 device_resident="auto",
+                 device_pool_budget=1 << 30):
         self.scale = int(scale)
         self.data_path = None if hr_img_path is None else (
             hr_img_path if isinstance(hr_img_path, list) else [hr_img_path])
@@ -162,6 +164,15 @@ class DataPipeline:
         # e2e over 2 when the transfer path is slow relative to the step
         # (dev tunnel; on PCIe the depth is irrelevant), 8 no better
         self.device_prefetch = max(1, int(device_prefetch))
+        # Device-resident crop pool: decoded images upload ONCE (ever), the
+        # epoch's crops are gathered on device, and each batch is one jitted
+        # call fed only a tiny index array — host work and per-batch uploads
+        # drop to ~zero, which matters when the host is CPU-poor or the
+        # transfer path is slow (dev tunnel). "auto" enables it when the
+        # epoch's crop pool + images fit device_pool_budget bytes. Batches
+        # are bit-identical to the host path (same per-file RNG streams).
+        self.device_resident = device_resident
+        self.device_pool_budget = int(device_pool_budget)
         self._rng = np.random.default_rng(random_seed)
         # device-side randomness (augmentation choices, jpeg dither) draws
         # from one deterministic key stream rooted at random_seed
@@ -170,6 +181,9 @@ class DataPipeline:
             else int(np.random.default_rng().integers(2**31 - 1)))
         self._decode_cache = {}
         self._prep_cache = {}
+        self._device_img_cache = {}   # path -> uint8 image resident in HBM
+        self._gather_cache = {}       # (h, w, n) -> jitted crop gather
+        self._pool_prep_cache = {}    # (pool, b, h, w) -> jitted pooled prep
         # Native C++ decode/crop server (threaded libpng/libjpeg + LRU cache;
         # crop-batch assembly is ~17× faster than numpy slicing). Falls back
         # to PIL when the toolchain is unavailable.
@@ -351,6 +365,102 @@ class DataPipeline:
         self._prep_cache[cache_key] = fn
         return fn
 
+    # --------------------------------------- device-resident crop pool
+
+    def _pooled_mode(self, files):
+        """True when this epoch should use the device-resident crop pool.
+        Requires naive cropping (diversity sampling ranks on host) and the
+        pool + images fitting the budget; ``device_resident=True`` forces
+        it (still gated on crop mode), False disables it."""
+        if not (self.crop and self.crop_naive) or not files:
+            return False
+        if self.device_resident is False:
+            return False
+        if self.device_resident is True:
+            return True
+        ph, pw = self.crop_size[0], self.crop_size[1]
+        pool_bytes = len(files) * self.num_crops * ph * pw * 3
+        img_bytes = 0
+        for f in files:
+            h, w = self._image_hw(f)
+            img_bytes += h * w * 3
+        return pool_bytes + img_bytes <= self.device_pool_budget
+
+    def _device_image(self, path):
+        """The decoded uint8 image, resident on device (uploaded once)."""
+        img = self._device_img_cache.get(path)
+        if img is None:
+            img = jnp.asarray(self._decoded(path))
+            self._device_img_cache[path] = img
+        return img
+
+    def _crop_gather_fn(self, h, w):
+        """Jitted (img, tops, lefts) -> (n, ph, pw, 3) uint8 crop stack."""
+        ph, pw = self.crop_size[0], self.crop_size[1]
+        key = (h, w, self.num_crops)
+        fn = self._gather_cache.get(key)
+        if fn is None:
+            def gather(img, tops, lefts):
+                def one(t, l):
+                    return jax.lax.dynamic_slice(img, (t, l, 0), (ph, pw, 3))
+                return jax.vmap(one)(tops, lefts)
+            fn = jax.jit(gather)
+            self._gather_cache[key] = fn
+        return fn
+
+    def _pool_batch_fn(self, pool_len, batch_size, hr_h, hr_w):
+        """Jitted (pool, idx, aug_ids, key) -> (lr, hr): on-device gather
+        from the epoch's crop pool + the standard fused prep."""
+        key = (pool_len, batch_size, hr_h, hr_w)
+        fn = self._pool_prep_cache.get(key)
+        if fn is None:
+            base = self._prepare_batch_fn(batch_size, hr_h, hr_w)
+
+            def prep(pool, idx, aug_ids, rng_key):
+                return base(jnp.take(pool, idx, axis=0), aug_ids, rng_key)
+
+            fn = jax.jit(prep)
+            self._pool_prep_cache[key] = fn
+        return fn
+
+    def _iter_batches_pooled(self, chunks, file_seeds):
+        """Device-resident epoch: images already in HBM, crops gathered on
+        device with the SAME per-file RNG streams as the host path (so the
+        produced batches are bit-identical), each batch one jitted call."""
+        ph, pw = self.crop_size[0], self.crop_size[1]
+        n = self.num_crops
+        files_sorted = sorted(file_seeds)
+        pool_parts, index_of = [], {}
+        for f in files_sorted:
+            h, w = self._image_hw(f)
+            if h < ph or w < pw:
+                raise ValueError(
+                    f"patch {ph}x{pw} larger than image {h}x{w} ({f})")
+            rng_f = np.random.default_rng(file_seeds[f])
+            tops = rng_f.integers(0, h - ph + 1, size=n)
+            lefts = rng_f.integers(0, w - pw + 1, size=n)
+            part = self._crop_gather_fn(h, w)(
+                self._device_image(f),
+                jnp.asarray(tops, jnp.int32), jnp.asarray(lefts, jnp.int32))
+            base = len(pool_parts) * n
+            for c in range(n):
+                index_of[(f, c)] = base + c
+            pool_parts.append(part)
+        pool = pool_parts[0] if len(pool_parts) == 1 \
+            else jnp.concatenate(pool_parts)
+
+        pending = []
+        for chunk in chunks:
+            idx = np.asarray([index_of[(f, c)] for f, c, _ in chunk],
+                             np.int32)
+            aug_ids = np.asarray([a for _, _, a in chunk], np.int32)
+            fn = self._pool_batch_fn(int(pool.shape[0]), len(chunk), ph, pw)
+            pending.append(fn(pool, jnp.asarray(idx), jnp.asarray(aug_ids),
+                              self._next_key()))
+            if len(pending) > self.device_prefetch:
+                yield pending.pop(0)
+        yield from pending
+
     # ------------------------------------------------------- generators
 
     def _work_items(self, files, rng, with_augs):
@@ -410,6 +520,10 @@ class DataPipeline:
         chunks = [items[start:start + bs] for start in range(0, len(items), bs)]
         if drop_remainder and chunks and len(chunks[-1]) < bs:
             chunks.pop()
+
+        if self._pooled_mode(files):
+            yield from self._iter_batches_pooled(chunks, file_seeds)
+            return
 
         # Two-level pipelining: num_workers threads assemble host batches
         # ahead (decode + crop + stack — the CPU-bound part; results are
@@ -540,6 +654,7 @@ class DataPipeline:
             # data-parallel runs need mesh-divisible batches
             drop_remainder=getattr(config, "data_parallel", False),
             num_workers=getattr(config, "num_workers", None),
+            device_resident=getattr(config, "device_resident", "auto"),
         )
 
     @staticmethod

@@ -166,8 +166,8 @@ def test_worker_count_invariance():
     single-worker pipeline for the same seed (per-file RNG streams make the
     crop draws scheduling-independent)."""
     augs = ["flip_along_x"]
-    a = _pipeline(augmentations=augs, num_workers=1)
-    b = _pipeline(augmentations=augs, num_workers=4)
+    a = _pipeline(augmentations=augs, num_workers=1, device_resident=False)
+    b = _pipeline(augmentations=augs, num_workers=4, device_resident=False)
     batches_a = [(np.asarray(lr), np.asarray(hr))
                  for lr, hr in a.train_batch_generator()]
     batches_b = [(np.asarray(lr), np.asarray(hr))
@@ -176,6 +176,49 @@ def test_worker_count_invariance():
     for (lr_a, hr_a), (lr_b, hr_b) in zip(batches_a, batches_b):
         np.testing.assert_array_equal(lr_a, lr_b)
         np.testing.assert_array_equal(hr_a, hr_b)
+
+
+def test_device_pool_matches_host_path():
+    """The device-resident crop pool (images uploaded once, crops gathered
+    on device, one jitted call per batch) must produce batches bit-identical
+    to the host assembly path for the same seed — the per-file RNG streams
+    draw the same crop windows either way."""
+    augs = ["flip_along_x", "rotate90"]
+    pooled = _pipeline(augmentations=augs, device_resident=True)
+    host = _pipeline(augmentations=augs, device_resident=False)
+    got = [(np.asarray(lr), np.asarray(hr))
+           for lr, hr in pooled.train_batch_generator()]
+    want = [(np.asarray(lr), np.asarray(hr))
+            for lr, hr in host.train_batch_generator()]
+    assert len(got) == len(want) > 0
+    for (lr_a, hr_a), (lr_b, hr_b) in zip(got, want):
+        np.testing.assert_array_equal(lr_a, lr_b)
+        np.testing.assert_array_equal(hr_a, hr_b)
+
+
+def test_device_pool_auto_gating():
+    """auto enables the pool only when crops + images fit the budget; naive
+    cropping is required (diversity sampling ranks on host)."""
+    p = _pipeline()
+    assert p._pooled_mode(p.train_imgs)            # tiny fixtures fit 1 GiB
+    tight = _pipeline(device_pool_budget=1024)
+    assert not tight._pooled_mode(tight.train_imgs)
+    diverse = _pipeline(crop_naive=False)
+    assert not diverse._pooled_mode(diverse.train_imgs)
+    off = _pipeline(device_resident=False)
+    assert not off._pooled_mode(off.train_imgs)
+
+
+def test_device_pool_jpg_noise_matches_host_path():
+    """jpg_noise runs inside the same fused prep either way."""
+    pooled = _pipeline(jpg_noise=True, jpg_noise_level=40,
+                       device_resident=True)
+    host = _pipeline(jpg_noise=True, jpg_noise_level=40,
+                     device_resident=False)
+    got = [np.asarray(lr) for lr, _ in pooled.train_batch_generator()]
+    want = [np.asarray(lr) for lr, _ in host.train_batch_generator()]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_uint8_host_carrier():
