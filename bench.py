@@ -355,12 +355,17 @@ def _flag_int(argv, flag, default):
     return int(argv[i]) if i < len(argv) and argv[i].isdigit() else default
 
 
-def _guard_device_liveness(probe_s=300, hard_cap_s=3600):
+def _guard_device_liveness(probe_s=900, hard_cap_s=3600):
     """The dev tunnel can die such that every device op blocks FOREVER (no
     error). A hung bench records nothing; an explicit failure line is
     strictly more useful. Probe the device in a daemon thread — if the
     probe doesn't complete in `probe_s`, print an honest error JSON line
-    and exit. A second timer hard-caps the whole run."""
+    and exit. A second timer hard-caps the whole run.
+
+    probe_s=900 because a *healthy but cold* tunnel has been measured taking
+    ~390 s for its first device op (backend init + first program; everything
+    after runs at normal speed) — a 300 s probe misreported that as a dead
+    tunnel (r3). 900 s separates "slow init" from "actually hung"."""
     import threading
 
     def bail(reason):
@@ -392,6 +397,17 @@ def _guard_device_liveness(probe_s=300, hard_cap_s=3600):
 def main(argv=None):
     import sys
     argv = sys.argv[1:] if argv is None else argv
+    # Persistent XLA executable cache: the driver runs this at round end on
+    # a possibly cold tunnel where big compiles cost minutes; cached
+    # executables from any earlier run (same machine) cut that to seconds.
+    # SIMPLESR_COMPILE_CACHE overrides the location; utils/compile_cache.py.
+    try:
+        from simplesr_tpu.utils import enable_compile_cache
+        enable_compile_cache(os.environ.get(
+            "SIMPLESR_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/simplesr_xla")))
+    except Exception:
+        pass  # cache is an optimization, never a bench failure
     if "--no-guard" not in argv:
         _guard_device_liveness()
     if "--train" in argv:
