@@ -406,8 +406,9 @@ def main(argv=None):
         enable_compile_cache(os.environ.get(
             "SIMPLESR_COMPILE_CACHE",
             os.path.expanduser("~/.cache/simplesr_xla")))
-    except Exception:
-        pass  # cache is an optimization, never a bench failure
+    except Exception as exc:  # cache is an optimization, never a bench failure
+        print(f"warning: compile cache disabled ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
     if "--no-guard" not in argv:
         _guard_device_liveness()
     if "--train" in argv:

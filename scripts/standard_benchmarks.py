@@ -124,10 +124,13 @@ def _zoo_models(scale):
 def evaluate_set(images, predictors, scale, tile_threshold=1000):
     """Per-model averaged metrics over one benchmark set.
 
-    Each distinct LR shape is one XLA compile; benchmark sets are small
-    (5/14/100 images) and shapes repeat across models, so this stays
-    bounded. Images above `tile_threshold` px/side go through the
-    overlap-tiled path (static tile shapes, one compile total).
+    Compile-count economics: each distinct full-image LR shape is one XLA
+    compile (shapes are shared across models, so the count is per-set, not
+    per-set×model). Set5/Set14/BSDS100 have few/uniform shapes; DIV2K_valid
+    has ~100 unique shapes, which through a cold tunnel would cost hours —
+    so large sets are routed through the overlap-tiled path unconditionally
+    (static 128² tile shapes ⇒ ONE compile total), via the lowered
+    per-set threshold chosen in run().
     """
     import jax.numpy as jnp
     from simplesr_tpu.data import read_img
@@ -144,9 +147,10 @@ def evaluate_set(images, predictors, scale, tile_threshold=1000):
         for label, fn in predictors.items():
             if fn is None:  # bicubic control row
                 sr01 = resize(lr, (h, w), "bicubic", antialias=True)
-            elif max(lr.shape[:2]) > tile_threshold:
+            elif (max(lr.shape[:2]) > tile_threshold
+                  and min(lr.shape[:2]) >= 128):  # segment needs ≥ one tile
                 # same static tile geometry as the eval op's large-image path
-                sr = tiled_apply(fn, lr, 128, 32, scale)
+                sr = tiled_apply(fn, lr, (128, 128), 32, scale)
                 sr01 = (sr + 1.0) / 2.0
             else:
                 sr01 = (fn(lr[None])[0] + 1.0) / 2.0
@@ -211,13 +215,12 @@ def run(scale=4, model_specs=None, data_root=None, out_dir=None,
     from simplesr_tpu.eval.evaluation import _as_predictor
 
     if selftest:
-        candidates = [Path("/root/reference/tests/data/comic.png"),
-                      REPO / "tests" / "data"]
+        # repo-local candidates only: the selftest must not depend on any
+        # machine-specific absolute path outside the repo
+        candidates = [REPO / "tests" / "data",
+                      REPO / "data" / "corpus"]
         imgs = []
         for c in candidates:
-            if c.is_file():
-                imgs = [c]
-                break
             if c.is_dir():
                 imgs = sorted(p for p in c.rglob("*.png"))[:1]
                 if imgs:
@@ -251,7 +254,12 @@ def run(scale=4, model_specs=None, data_root=None, out_dir=None,
     for set_name, images in datasets.items():
         print(f"=== {set_name}: {len(images)} images, "
               f"{len(predictors)} models ===", flush=True)
-        results["sets"][set_name] = evaluate_set(images, predictors, scale)
+        # many-image sets (DIV2K_valid ≈ 100 unique shapes) go through the
+        # static-shape tiled path unconditionally — one compile, not one per
+        # distinct image shape (see evaluate_set docstring)
+        threshold = 1000 if len(images) <= 20 else 160
+        results["sets"][set_name] = evaluate_set(
+            images, predictors, scale, tile_threshold=threshold)
         for label, row in results["sets"][set_name].items():
             print(f"  {label:<28} PSNR-Y {row['psnr_y']:7.3f}  "
                   f"SSIM-Y {row['ssim_y']:.4f}", flush=True)

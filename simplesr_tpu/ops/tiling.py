@@ -149,7 +149,10 @@ def tiled_apply_many(fn, images, patch_size, overlap, scale, batch_size=16):
 
     Returns the stitched outputs in input order.
     """
-    ph, pw = int(patch_size[0]), int(patch_size[1])
+    if isinstance(patch_size, (int, float)):
+        ph = pw = int(patch_size)
+    else:
+        ph, pw = int(patch_size[0]), int(patch_size[1])
     metas, streams = [], []
     for image in images:
         patches, padding = segment_into_patches(image, pw, ph, overlap)

@@ -82,6 +82,26 @@ def test_full_run_with_zoo_model_and_reports(fake_sets, tmp_path):
     assert "| Set5 | bicubic |" in md
 
 
+def test_tiled_branch_executes(tmp_path):
+    """Regression: the >tile_threshold branch once passed patch_size as an
+    int, crashing with TypeError the first time a large real image appeared
+    (ADVICE r3). Lower the threshold so the tiled path runs on a synthetic
+    image and produces finite metrics."""
+    from simplesr_tpu import zoo
+
+    rng = np.random.default_rng(3)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    # LR side = 144 > threshold 140 and ≥ 128, so the tiled branch fires
+    _write_png(img_dir / "big.png", rng, 288, 296)
+    fn = zoo.load("srresnet_x2")
+    table = sb.evaluate_set(sorted(img_dir.iterdir()),
+                            {"bicubic": None, "model": fn},
+                            scale=2, tile_threshold=140)
+    for row in table.values():
+        assert np.isfinite(row["psnr_y"]) and 0 < row["ssim_y"] <= 1
+
+
 def test_anchor_lookup():
     assert sb._anchor_for("srresnet_x4", "Set5", 4) == (32.05, 0.9019)
     assert sb._anchor_for("bicubic", "Set14", 4) == (26.00, 0.7027)

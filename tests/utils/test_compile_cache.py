@@ -38,17 +38,29 @@ def test_env_contract(tmp_path, monkeypatch):
 
 def test_cache_populates_on_slow_compile(tmp_path):
     """An actually-compiled computation above the time threshold lands on
-    disk (threshold 0 so even a trivial jit qualifies)."""
+    disk (threshold 0 so even a trivial jit qualifies).
+
+    The computation must be UNIQUE within this process: if an identical
+    jaxpr was compiled by any earlier test, jax's in-memory executable
+    cache serves it and no disk entry is ever written (this made the test
+    order-dependent in full-suite runs). A random shape and a random
+    constant folded into the graph guarantee a fresh compile.
+    """
+    import random
+
     target = tmp_path / "popcache"
     enable_compile_cache(str(target), min_compile_time_secs=0.0)
     try:
         import jax.numpy as jnp
 
+        n = random.randint(11, 61)
+        salt = float(random.randint(1, 10**6))
+
         @jax.jit
         def f(x):
-            return jnp.tanh(x) @ x.T
+            return jnp.tanh(x + salt) @ x.T
 
-        f(jnp.ones((17, 23))).block_until_ready()
+        f(jnp.ones((n, n + 6))).block_until_ready()
         assert any(os.scandir(str(target))), "no cache entry written"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
