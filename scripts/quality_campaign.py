@@ -51,9 +51,26 @@ TRAIN_IMGS = {
     "div2k_0006": "/root/reference/data/datasets/div2k/8/0006.png",
     "lena": "/root/reference/tests/data/lena.png",
 }
+# Round 4: the gallery corpus (data/corpus/gallery, extracted by
+# scripts/extract_gallery_corpus.py from the reference's rendered grids —
+# pristine GT tiles only, held-out probes excluded by construction and
+# re-verified by tests/data/test_gallery_corpus.py) grows the unique-pixel
+# corpus ~6×. Opt out with --no-gallery-corpus.
+_GALLERY_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "data", "corpus", "gallery")
+if os.path.isdir(_GALLERY_DIR):
+    for _p in sorted(os.listdir(_GALLERY_DIR)):
+        if _p.endswith(".png"):
+            TRAIN_IMGS[_p[:-4]] = os.path.join(_GALLERY_DIR, _p)
 HELDOUT_IMGS = {
     "baboon": "/root/reference/tests/data/baboon.png",
     "comic": "/root/reference/tests/data/comic.png",
+}
+# eval stays on the three canonical train members (one compile per distinct
+# full-image shape through the tunnel — evaluating all gallery tiles would
+# add ~16 shape-keyed compiles per model for no comparative value)
+EVAL_TRAIN_IMGS = {
+    k: TRAIN_IMGS[k] for k in ("div2k_0004", "div2k_0006", "lena")
 }
 SCALE = 2
 CROP = 96
@@ -90,6 +107,10 @@ def stage_dataset(crops_per_mpix=96, val_crops_per_img=32):
     train_parts, val_parts = [], []
     for i, (name, path) in enumerate(TRAIN_IMGS.items()):
         img = jnp.asarray(read_img(path))
+        if min(img.shape[0], img.shape[1]) < CROP:
+            print(f"[stage] skipping {name}: {img.shape[:2]} < crop {CROP}",
+                  flush=True)
+            continue
         mpix = img.shape[0] * img.shape[1] / 1e6
         n = max(48, int(mpix * crops_per_mpix))
         train_parts.append(batch_random_crops(
@@ -157,7 +178,7 @@ def _full_image_sr(model, img_01):
 
 
 def evaluate(model, label, results):
-    for name, path in {**TRAIN_IMGS, **HELDOUT_IMGS}.items():
+    for name, path in {**EVAL_TRAIN_IMGS, **HELDOUT_IMGS}.items():
         img = read_img(path) / 255.0
         hr, sr, bic, _ = _full_image_sr(model, img)
         row = {}
@@ -505,6 +526,9 @@ def _parse_cli(argv):
     global SCALE, CROP, OUT_DIR
     kwargs = {"fast": "--fast" in argv or "--tiny" in argv,
               "tiny": "--tiny" in argv}
+    if "--no-gallery-corpus" in argv:  # pre-round-4 3-image corpus
+        for k in [k for k, v in TRAIN_IMGS.items() if v.startswith(_GALLERY_DIR)]:
+            del TRAIN_IMGS[k]
     if "--scale" in argv:
         SCALE = int(argv[argv.index("--scale") + 1])
         if SCALE not in (2, 4, 8):
