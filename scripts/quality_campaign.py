@@ -284,7 +284,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
         gen = Generator.srgan_generator(
             upsample_factor=SCALE, vgg_loss=False, batch_norm=False,
             adversarial_loss_weight=1e-3, input_dims=lr_dims, remat=REMAT,
-            **size)
+            pretrained_model_path=pretrained_path, **size)
         disc = Discriminator.initialize_standard(
             label_smoothing=True, smoothing_offset=0.2,
             input_dims=(CROP, CROP),
@@ -365,7 +365,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                 RaAdversarialLoss(weighted=True, loss_weight=5e-3),
             ],
             residual_scaling=0.2, batch_norm=False, input_dims=lr_dims,
-            remat=REMAT,
+            remat=REMAT, pretrained_model_path=pretrained_path,
             **(size or dict(num_blocks=RRDB_BLOCKS)))
         disc = Discriminator.initialize_relativistic(
             input_dims=(CROP, CROP),
@@ -451,6 +451,16 @@ def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
             if not os.path.exists(pretrained):
                 print(f"[{arch}] skipped: no committed {pretrained}",
                       flush=True)
+                continue
+        elif parent.startswith("out:"):
+            # warm-start from a pixel model saved by an earlier invocation
+            # into THIS campaign's OUT_DIR (lets GAN stages resume after an
+            # interrupted run without retraining the parent)
+            pretrained = os.path.join(
+                OUT_DIR, "models",
+                f"resnet_gen_{parent[4:]}_x{SCALE}_best.msgpack")
+            if not os.path.exists(pretrained):
+                print(f"[{arch}] skipped: no saved {pretrained}", flush=True)
                 continue
         elif parent in ckpt_dirs:
             ckpt = ckpt_dirs[parent]
