@@ -501,7 +501,7 @@ def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
 
 def _write_markdown(results):
     lines = [
-        "# Quality results (round 2 campaign)",
+        f"# Quality results ({os.path.basename(OUT_DIR.rstrip('/'))} campaign)",
         "",
         f"x{SCALE} super-resolution trained to convergence (early-stopped) on "
         "every real photo available in this zero-egress environment "
