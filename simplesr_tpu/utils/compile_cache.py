@@ -40,6 +40,16 @@ def enable_compile_cache(cache_dir, min_compile_time_secs=1.0):
                       float(min_compile_time_secs))
     # cache regardless of entry size; the time threshold is the real gate
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # jax memoizes its cache object on first use (_cache_initialized in
+    # jax._src.compilation_cache), so once any computation ran with a
+    # previous cache setting — including cache-off — the config updates
+    # above would silently never take effect in this process. Drop the
+    # memo so the new directory is live from the next compile.
+    try:
+        from jax._src import compilation_cache as _jax_cc
+        _jax_cc.reset_cache()
+    except Exception as exc:  # private API moved — cache may be stale
+        _log.warning("could not reset jax compilation cache memo: %s", exc)
     _log.info("persistent compilation cache at %s", cache_dir)
     return cache_dir
 

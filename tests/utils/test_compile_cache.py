@@ -36,6 +36,33 @@ def test_env_contract(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", None)
 
 
+def test_cache_dir_switch_takes_effect(tmp_path):
+    """jax memoizes its cache object on first use; enable_compile_cache must
+    drop that memo or a second enable (new dir) silently never writes — the
+    exact order-dependence that made the populate test below flaky when any
+    earlier test in the process had already exercised the cache."""
+    import random
+
+    import jax.numpy as jnp
+
+    first, second = tmp_path / "first", tmp_path / "second"
+    try:
+        enable_compile_cache(str(first), min_compile_time_secs=0.0)
+        salt = float(random.randint(1, 10**6))
+        jax.jit(lambda x: jnp.sin(x) * salt)(
+            jnp.ones((random.randint(11, 61), 5))).block_until_ready()
+
+        enable_compile_cache(str(second), min_compile_time_secs=0.0)
+        salt2 = float(random.randint(1, 10**6))
+        n = random.randint(11, 61)
+        jax.jit(lambda x: jnp.cosh(x + salt2) @ x.T)(
+            jnp.ones((n, n + 3))).block_until_ready()
+        assert any(os.scandir(str(second))), \
+            "cache-dir switch ignored (stale jax cache memo)"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_cache_populates_on_slow_compile(tmp_path):
     """An actually-compiled computation above the time threshold lands on
     disk (threshold 0 so even a trivial jit qualifies).
