@@ -38,6 +38,30 @@ REFERENCE_MPIX_S_CPU_MEASURED = 0.154        # scripts/measure_reference_floor.p
 REFERENCE_TRAIN_MPIX_S_CPU_MEASURED = 0.014  # …measure_reference_floor.py --train
 REFERENCE_MPIX_S_GPU_ESTIMATE = 5.0          # NOT a measurement — see docstring
 
+# v5e bf16 matmul peak. The chained-matmul calibration in this harness
+# measures 165 TFLOP/s (84 % of this), confirming the clock; MXU utilization
+# below is effective_tflops / this peak so it is comparable across rounds.
+PEAK_TFLOPS_BF16 = 197.0
+
+
+def _xla_flops(jitted, *args):
+    """FLOPs XLA reports for one call of `jitted` (None if unavailable).
+
+    Uses the compiled executable's cost analysis — the same count the
+    docs/performance.md roofline tables use — so `effective_tflops` is
+    measured program FLOPs over measured wall time, not a hand model."""
+    try:
+        import jax
+        if not hasattr(jitted, "lower"):
+            jitted = jax.jit(jitted)
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
 BATCH = 16  # throughput saturates at ≥16 on v5e (52→81 MPix/s from 8→16)
 LR_HW = 128
 SCALE = 4
@@ -45,7 +69,8 @@ CHAIN = 25
 
 
 def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
-                             num_filters=64, polyphase=True, paired_ways=0):
+                             num_filters=64, polyphase=True, paired_ways=0,
+                             with_flops=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -79,12 +104,21 @@ def measure_inference_mpix_s(batch=BATCH, lr_hw=LR_HW, scale=SCALE, chain=CHAIN,
 
     float(fwd_chain(variables, lr, 1))  # compile + warm
     best = 0.0
+    min_elapsed = float("inf")
     for _ in range(3):
         start = time.perf_counter()
         float(fwd_chain(variables, lr, chain))  # fetch forces completion
         elapsed = time.perf_counter() - start
+        min_elapsed = min(min_elapsed, elapsed)
         mpix = batch * (lr_hw * scale) ** 2 * chain / 1e6
         best = max(best, mpix / elapsed)
+    if with_flops:
+        # FLOPs of one forward (the chain's feedback mixing is negligible),
+        # over the best chain wall time
+        f = _xla_flops(lambda v, x: model.apply(v, x, train=False),
+                       variables, lr)
+        eff = f * chain / min_elapsed / 1e12 if f else None
+        return best, eff
     return best
 
 
@@ -159,7 +193,8 @@ def _srresnet_train_model(tmp, crop=96, scale=SCALE):
                    config=_train_cfg(tmp))
 
 
-def measure_train_ms_per_step(steps=30, crop=96, scale=SCALE):
+def measure_train_ms_per_step(steps=30, crop=96, scale=SCALE,
+                              with_flops=False):
     """SRResNet ×4 fused train step, batch 16 × 96² HR crops (paper config).
     Steps chain through the optimizer state, so N steps time as one queue."""
     import tempfile
@@ -188,7 +223,13 @@ def measure_train_ms_per_step(steps=30, crop=96, scale=SCALE):
             model.after_train_batch()
         fence()
         best = min(best, (time.perf_counter() - t0) / steps)
-    return best * 1000.0
+    ms = best * 1000.0
+    if with_flops:
+        # the exact fused fwd+bwd+optimizer program XLA compiled
+        f = _xla_flops(model._train_step_fn, model.state, lr, hr)
+        eff = f / best / 1e12 if f else None
+        return ms, eff
+    return ms
 
 
 def measure_train_e2e_mpix_s(epochs=3, crop=96, scale=SCALE):
@@ -268,15 +309,22 @@ def measure_train_e2e_mpix_s(epochs=3, crop=96, scale=SCALE):
 
 def collect_default():
     """The driver's one-line record: headline inference + extras."""
-    mpix = measure_inference_mpix_s()
+    mpix, inf_tflops = measure_inference_mpix_s(with_flops=True)
     extras = {}
+    if inf_tflops:
+        extras["inference_effective_tflops"] = round(inf_tflops, 1)
+        extras["inference_mxu_util"] = round(inf_tflops / PEAK_TFLOPS_BF16, 3)
     try:
-        ms = measure_train_ms_per_step()
+        ms, train_tflops = measure_train_ms_per_step(with_flops=True)
         extras["srresnet_x4_train_ms_per_step_b16"] = round(ms, 2)
         train_mpix = 16 * 96 * 96 / 1e6 / (ms / 1000.0)
         extras["srresnet_x4_train_device_mpix_per_s"] = round(train_mpix, 2)
         extras["train_vs_reference_cpu_floor"] = round(
             train_mpix / REFERENCE_TRAIN_MPIX_S_CPU_MEASURED, 1)
+        if train_tflops:
+            extras["train_effective_tflops"] = round(train_tflops, 1)
+            extras["train_mxu_util"] = round(
+                train_tflops / PEAK_TFLOPS_BF16, 3)
     except Exception as e:
         extras["train_step_error"] = f"{type(e).__name__}: {e}"
     try:
