@@ -15,12 +15,16 @@ largest axis divisible by the mesh axis size, replicate small/indivisible
 leaves. Numeric equality with single-device training is pinned by
 tests/parallel/test_fsdp.py.
 
-Perf caveat: GSPMD propagates the out-channel kernel sharding into the
-activations, and the subpixel (depth_to_space) reshape then forces a
-replicate-repartition (XLA logs "Involuntary full rematerialization" —
-correct, just not free). For SimpleSR model sizes the win is optimizer-state
-memory, not speed; a speed-oriented FSDP would add
-`jax.lax.with_sharding_constraint` on the tail activations.
+Subpixel-tail exception: the pixel-shuffle convs (SubpixelConvBlock) stay
+replicated. GSPMD propagates an out-channel kernel sharding into the conv's
+activation, and the depth_to_space reshape then re-factors that channel dim
+into the tiny r×r spatial dims — a sharding with no efficient transition, so
+the SPMD partitioner replicates-then-repartitions the whole HR-resolution
+activation every step ("Involuntary full rematerialization" in the XLA log).
+The tail kernels are a ~1% slice of the parameters while their activation is
+the largest tensor in the network, so replicating them costs ~nothing and
+removes the remat entirely (pinned warning-free by
+tests/parallel/test_fsdp.py::test_no_involuntary_rematerialization).
 """
 
 from typing import Any
@@ -34,6 +38,11 @@ from simplesr_tpu.parallel.mesh import DATA_AXIS
 # leaves smaller than this stay replicated: sharding a PReLU alpha or a BN
 # vector buys nothing and costs a gather
 MIN_SHARD_ELEMS = 2 ** 11
+
+# module-name fragments whose params stay replicated regardless of size:
+# their out-channel sharding cannot cross the depth_to_space reshape that
+# immediately consumes them (see module docstring)
+_REPLICATE_PATH_FRAGMENTS = ("SubpixelConvBlock",)
 
 
 def leaf_spec(shape, axis_size: int, axis: str = DATA_AXIS,
@@ -59,14 +68,18 @@ def state_shardings(mesh: Mesh, tree: Any, axis: str = DATA_AXIS) -> Any:
     extended-dtype leaves (step counters, PRNG keys) are replicated."""
     axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
-    def one(leaf):
+    def one(path, leaf):
         arr = jax.numpy.asarray(leaf) if not hasattr(leaf, "shape") else leaf
         if jax.dtypes.issubdtype(arr.dtype, jax.dtypes.extended) or \
                 not jax.numpy.issubdtype(arr.dtype, jax.numpy.floating):
             return NamedSharding(mesh, P())  # counters, PRNG keys, ints
+        keys = (getattr(k, "key", getattr(k, "name", "")) for k in path)
+        if any(frag in str(k) for k in keys
+               for frag in _REPLICATE_PATH_FRAGMENTS):
+            return NamedSharding(mesh, P())  # pixel-shuffle tail (see above)
         return NamedSharding(mesh, leaf_spec(arr.shape, axis_size, axis))
 
-    return jax.tree_util.tree_map(one, tree)
+    return jax.tree_util.tree_map_with_path(one, tree)
 
 
 def shard_count(tree_shardings) -> int:

@@ -54,15 +54,43 @@ def test_state_actually_sharded(tmp_path):
     model = _build(tmp_path, make_mesh(), fsdp=True, tag="s")
     shardings = model._state_sharding
     assert shard_count(shardings) > 0
-    # a big conv kernel leaf: per-device shard is 1/8 of the global array
-    leaves = [l for l in jax.tree_util.tree_leaves(model.state.g_params)
-              if l.size >= 2 ** 11]
-    assert leaves, "expected at least one sharded-size param leaf"
-    for leaf in leaves:
+    # big conv kernel leaves: per-device shard is 1/8 of the global array —
+    # except the pixel-shuffle tail, which stays replicated by design (its
+    # out-channel sharding cannot cross the depth_to_space reshape)
+    flat = jax.tree_util.tree_flatten_with_path(model.state.g_params)[0]
+    big = [(path, l) for path, l in flat if l.size >= 2 ** 11]
+    assert big, "expected at least one sharded-size param leaf"
+    saw_sharded = saw_tail = False
+    for path, leaf in big:
         assert isinstance(leaf.sharding, NamedSharding)
+        if any("SubpixelConvBlock" in str(getattr(k, "key", k))
+               for k in path):
+            assert all(s is None for s in leaf.sharding.spec)
+            saw_tail = True
+            continue
         assert any(s is not None for s in leaf.sharding.spec)
         shard = leaf.addressable_shards[0].data
         assert shard.size * 8 == leaf.size
+        saw_sharded = True
+    assert saw_sharded and saw_tail
+
+
+def test_no_involuntary_rematerialization(rng, tmp_path, capfd):
+    """The FSDP train step must compile without the SPMD partitioner's
+    "Involuntary full rematerialization" fallback. Regression pin for the
+    pixel-shuffle tail: an out-channel kernel sharding on a SubpixelConvBlock
+    conv propagates into its activation, and the depth_to_space reshape maps
+    that channel sharding onto the tiny r×r dims — unrepresentable, so XLA
+    replicates the full HR activation every step. parallel/fsdp.py keeps
+    those kernels replicated instead (r3 MULTICHIP tail warning)."""
+    lr = rng.uniform(0, 1, size=(8, 8, 8, 3)).astype(np.float32)
+    hr = rng.uniform(-1, 1, size=(8, 16, 16, 3)).astype(np.float32)
+    model = _build(tmp_path, make_mesh(), fsdp=True, tag="remat")
+    model.train_step(lr, hr)  # compiles the fused step (GSPMD partitioning)
+    model.validation_step(lr, hr)
+    jax.block_until_ready(model.state.g_params)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err
 
 
 def test_fsdp_requires_mesh(tmp_path):
@@ -173,7 +201,11 @@ def test_checkpoint_roundtrip_replaces_shardings(rng, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b),
         p1, jax.device_get(model.state.g_params))
-    big = [l for l in jax.tree_util.tree_leaves(model.state.g_params)
-           if l.size >= 2 ** 11]
-    assert all(l.addressable_shards[0].data.size * 8 == l.size for l in big)
+    flat = jax.tree_util.tree_flatten_with_path(model.state.g_params)[0]
+    big = [(path, l) for path, l in flat if l.size >= 2 ** 11]
+    assert all(
+        l.addressable_shards[0].data.size * 8 == l.size
+        for path, l in big
+        if not any("SubpixelConvBlock" in str(getattr(k, "key", k))
+                   for k in path))  # tail stays replicated (fsdp.py)
     model.train_step(lr, hr)  # still trains after restore
