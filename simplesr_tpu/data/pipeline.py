@@ -141,7 +141,21 @@ class DataPipeline:
         self.random_seed = random_seed
         self.augmentations = _resolve_augmentations(augmentations)
         self.jpg_noise = jpg_noise
-        self.jpg_noise_level = jpg_noise_level
+        # scalar level L → fixed quality 100-L (reference semantics,
+        # /root/reference/simple_sr/data_pipeline/data_pipeline.py:318-330);
+        # a (lo, hi) pair → per-crop quality drawn uniform from
+        # [100-hi, 100-lo] each batch — the standard randomized-degradation
+        # recipe (trains a single model across the compression range
+        # instead of overfitting one quantization table)
+        if isinstance(jpg_noise_level, (tuple, list)):
+            lo, hi = (int(jpg_noise_level[0]), int(jpg_noise_level[1]))
+            if not (0 <= lo <= hi <= 99):
+                raise ValueError(
+                    f"jpg_noise_level range {jpg_noise_level} must satisfy "
+                    "0 <= lo <= hi <= 99")
+            self.jpg_noise_level = (lo, hi)
+        else:
+            self.jpg_noise_level = int(jpg_noise_level)
         if jpg_noise and any(n == "adjust_jpg_quality" for n, _ in self.augmentations):
             import logging
             logging.getLogger("simple_sr").warning(
@@ -335,7 +349,12 @@ class DataPipeline:
         method = self.resize_filter
         antialias = self.antialias
         jpg_noise = self.jpg_noise
-        quality = 100 - self.jpg_noise_level
+        level = self.jpg_noise_level
+        quality_range = None  # (q_lo, q_hi) when randomized
+        if isinstance(level, tuple):
+            quality_range = (100 - level[1], 100 - level[0])
+        else:
+            quality = 100 - level
         lr_h, lr_w = hr_h // scale, hr_w // scale
 
         def _augment_one(aug_id, key, img):
@@ -357,7 +376,17 @@ class DataPipeline:
             lr = _resize(normalize_01(hr), (lr_h, lr_w), method=method,
                          antialias=antialias)
             if jpg_noise:
-                lr = jpeg_degrade(lr, quality)
+                if quality_range is not None:
+                    # per-crop quality; folded key keeps the augmentation
+                    # stream (and thus any fixed-level run) bit-identical
+                    q = jax.random.uniform(
+                        jax.random.fold_in(key, 0x1397),
+                        (hr_crops.shape[0],),
+                        minval=float(quality_range[0]),
+                        maxval=float(quality_range[1]))
+                    lr = jax.vmap(jpeg_degrade)(lr, q)
+                else:
+                    lr = jpeg_degrade(lr, quality)
             hr = normalize_11(hr)
             return jnp.asarray(lr, jnp.float32), jnp.asarray(hr, jnp.float32)
 

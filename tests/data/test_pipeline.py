@@ -84,6 +84,46 @@ def test_jpg_noise_degrades_lr():
     assert not np.allclose(np.asarray(lr_c), np.asarray(lr_n), atol=1e-3)
 
 
+def test_jpg_noise_randomized_quality_range():
+    """jpg_noise_level=(lo, hi) degrades each crop at its own random
+    quality: HR stream unchanged, LR noisier than clean, and two crops of
+    the same batch see different quantization (their deviation from the
+    clean LR differs in magnitude)."""
+    p_clean = _pipeline(random_seed=3)
+    p_rand = _pipeline(random_seed=3, jpg_noise=True,
+                       jpg_noise_level=(10, 70))
+    lr_c, hr_c = next(iter(p_clean.train_batch_generator()))
+    lr_r, hr_r = next(iter(p_rand.train_batch_generator()))
+    np.testing.assert_allclose(np.asarray(hr_c), np.asarray(hr_r), atol=1e-6)
+    dev = np.abs(np.asarray(lr_r) - np.asarray(lr_c)).mean(axis=(1, 2, 3))
+    assert (dev > 1e-4).all()  # every crop degraded
+    # the airtight per-crop check: identical crops through the fused prep —
+    # with a quality RANGE the outputs must differ crop-to-crop (same input,
+    # different quantization), with a fixed level they must be identical
+    import jax
+
+    hr_same = jnp.tile(hr_c[:1] * 127.5 + 127.5, (4, 1, 1, 1))
+    aug_ids = jnp.zeros((4,), jnp.int32)
+    key = jax.random.key(7)
+    lr_fix, _ = p_clean._prepare_batch_fn(4, 32, 32)(hr_same, aug_ids, key)
+    prep_rand = p_rand._prepare_batch_fn(4, 32, 32)
+    lr_rand, _ = prep_rand(hr_same, aug_ids, key)
+    a = np.asarray(lr_rand)
+    assert np.allclose(np.asarray(lr_fix)[0], np.asarray(lr_fix)[1])
+    assert not np.allclose(a[0], a[1], atol=1e-5) or \
+        not np.allclose(a[0], a[2], atol=1e-5)
+    # and the draw is key-deterministic
+    b = np.asarray(prep_rand(hr_same, aug_ids, key)[0])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_jpg_noise_level_range_validation():
+    with pytest.raises(ValueError):
+        _pipeline(jpg_noise=True, jpg_noise_level=(70, 10))
+    with pytest.raises(ValueError):
+        _pipeline(jpg_noise=True, jpg_noise_level=(0, 100))
+
+
 def test_explicit_validation_path():
     p = _pipeline(validationset_path=GRAD_DIR, train_val_split=0.5)
     assert len(p.train_imgs) == 8  # no split when explicit val path given
