@@ -129,3 +129,21 @@ def test_tp_gan_training_matches_single_device(rng, tmp_path):
         sd_m.train_step(lr, hr)
     for a, b in zip(_leaves(tp_m), _leaves(sd_m)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_tp_no_involuntary_rematerialization(rng, tmp_path, capfd):
+    """The TP fused train step must compile without the SPMD partitioner's
+    "Involuntary full rematerialization" fallback (r3 MULTICHIP tail: the
+    channel-sharded trunk activation hit the SubpixelConvBlock
+    depth_to_space reshape, whose r×r dims can't represent a channel
+    sharding, so XLA replicated the full HR activation every step). The
+    shard_map TP forward keeps the subpixel tail replicated
+    (parallel/tensor.py) — this pins that the warning stays gone."""
+    lr, hr = _batch(rng)
+    mesh = make_mesh({DATA_AXIS: 2, MODEL_AXIS: 4})
+    tp = _model(tmp_path, "tp_remat", mesh=mesh, tensor_parallel=True)
+    tp.train_step(lr, hr)  # compiles the fused step (GSPMD partitioning)
+    tp.validation_step(lr, hr)
+    jax.block_until_ready(tp.state.g_params)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err
