@@ -94,7 +94,62 @@ def _heldout_metrics(results_dir, recipe):
         if col == "noise_trained":  # scored on JPEG-degraded inputs
             out["degraded_inputs"] = True
         return out
+        # fallthrough below handles the round-4 jpg-study schema
+    for fname in sorted(os.listdir(results_dir)):
+        if not (fname.startswith("RESULTS") and fname.endswith(".json")):
+            continue
+        try:
+            with open(results_dir / fname) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        got = _jpg_study_metrics(data, recipe)
+        if got:
+            return got
     return {}
+
+
+def _jpg_study_metrics(data, recipe):
+    """Round-4 JPEG-study schema: ``images.<name>.<quality>.<column>``
+    (scripts/jpg_noise_study.py). The noise-trained recipe is scored on the
+    degraded qualities (its domain); the clean control on clean inputs."""
+    images = data.get("images")
+    if not isinstance(images, dict):
+        return {}
+    if "jpg" in recipe:
+        col, qualities, degraded = "noise_trained", None, True
+    elif "ctl" in recipe or "control" in recipe:
+        col, qualities, degraded = "clean_control", ("clean",), False
+    else:
+        return {}
+    psnr, ssim, bic, names = [], [], [], set()
+    for name, per_img in images.items():
+        if not (isinstance(per_img, dict) and per_img.get("heldout")):
+            continue
+        for q, row in per_img.items():
+            if q == "heldout" or not isinstance(row, dict):
+                continue
+            if qualities is None and q == "clean":
+                continue  # degraded-domain metric excludes clean inputs
+            if qualities is not None and q not in qualities:
+                continue
+            if col in row and "bicubic" in row:
+                psnr.append(row[col]["psnr"])
+                ssim.append(row[col]["ssim"])
+                bic.append(row["bicubic"]["psnr"])
+                names.add(name)
+    if not psnr:
+        return {}
+    n = len(psnr)
+    out = {
+        "heldout_psnr": round(sum(psnr) / n, 4),
+        "heldout_ssim": round(sum(ssim) / n, 4),
+        "heldout_psnr_bicubic": round(sum(bic) / n, 4),
+        "heldout_images": len(names),
+    }
+    if degraded:
+        out["degraded_inputs"] = True
+    return out
 
 
 def list_models(root=None):

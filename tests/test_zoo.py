@@ -37,6 +37,18 @@ def test_heldout_metrics_extracted():
     assert jpg.metrics.get("degraded_inputs") is True
 
 
+def test_jpg_study_schema_metrics():
+    """The round-4 JPEG-study schema (images.<name>.<quality>.<column>)
+    yields metrics for both the noise-trained model and the clean control."""
+    rq = zoo.describe("srresnet_jpg_rq_x2")
+    assert rq.metrics.get("degraded_inputs") is True
+    assert rq.metrics["heldout_psnr"] > rq.metrics["heldout_psnr_bicubic"]
+    assert rq.metrics["heldout_images"] == 2
+    ctl = zoo.describe("srresnet_ctl_x2")
+    assert "degraded_inputs" not in ctl.metrics  # scored on clean inputs
+    assert ctl.metrics["heldout_psnr"] > ctl.metrics["heldout_psnr_bicubic"]
+
+
 def test_unknown_name_lists_available():
     with pytest.raises(KeyError, match="srresnet_x2"):
         zoo.load("nope_x9")
