@@ -58,14 +58,25 @@ TRAIN_IMGS = {
 # corpus ~6×. Opt out with --no-gallery-corpus.
 _GALLERY_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                             "data", "corpus", "gallery")
+# Round 5 (VERDICT r4 #3): the held-out set is widened from 2 probes to 6
+# images — four gallery tiles (incl. the largest, gt_1/gt_10/gt_13) are
+# excluded from training entirely and scored alongside baboon/comic, so the
+# quality tables report mean±spread over a set where single-image noise
+# can't carry the narrative. --legacy-holdout restores the 2-probe split
+# (only for comparing against pre-r5 campaigns).
+HELDOUT_GALLERY = ("gt_1", "gt_10", "gt_13", "gt_6")
 if os.path.isdir(_GALLERY_DIR):
     for _p in sorted(os.listdir(_GALLERY_DIR)):
-        if _p.endswith(".png"):
+        if _p.endswith(".png") and _p[:-4] not in HELDOUT_GALLERY:
             TRAIN_IMGS[_p[:-4]] = os.path.join(_GALLERY_DIR, _p)
 HELDOUT_IMGS = {
     "baboon": "/root/reference/tests/data/baboon.png",
     "comic": "/root/reference/tests/data/comic.png",
 }
+for _p in HELDOUT_GALLERY:
+    _path = os.path.join(_GALLERY_DIR, _p + ".png")
+    if os.path.exists(_path):
+        HELDOUT_IMGS[_p] = _path
 # eval stays on the three canonical train members (one compile per distinct
 # full-image shape through the tunnel — evaluating all gallery tiles would
 # add ~16 shape-keyed compiles per model for no comparative value)
@@ -177,7 +188,31 @@ def _full_image_sr(model, img_01):
     return hr_ref, sr, bic, lr[0]
 
 
+_LP_CACHE = {}
+
+
+def _lp_metric_fn():
+    """The campaign's perceptual EVAL metric (VERDICT r4 #5): feature-MSE in
+    a FIXED extractor space — this campaign's own srresnet pixel model
+    (losses/learned_perceptual.py). Lower is better. Values are comparable
+    only within one campaign (same extractor); the point is ranking GAN
+    stages against their pixel parents on a perceptual axis, which
+    PSNR/SSIM by design cannot show. Returns None until the srresnet pixel
+    stage has been saved (subset runs before it simply omit the column)."""
+    path = os.path.join(OUT_DIR, "models",
+                        f"resnet_gen_srresnet_x{SCALE}_best.msgpack")
+    if not os.path.exists(path):
+        return None
+    if _LP_CACHE.get("path") != path:
+        from simplesr_tpu.losses import LearnedPerceptualLoss
+        lp = LearnedPerceptualLoss(model_path=path)
+        _LP_CACHE["path"] = path
+        _LP_CACHE["fn"] = jax.jit(lambda a, b: lp(a, b)[0])
+    return _LP_CACHE["fn"]
+
+
 def evaluate(model, label, results):
+    lp_fn = _lp_metric_fn()
     for name, path in {**EVAL_TRAIN_IMGS, **HELDOUT_IMGS}.items():
         img = read_img(path) / 255.0
         hr, sr, bic, _ = _full_image_sr(model, img)
@@ -188,12 +223,16 @@ def evaluate(model, label, results):
                 "psnr_y": round(float(psnr_on_y(hr[None], out[None], max_val=2.0)[0]), 3),
                 "ssim": round(float(ssim(hr[None], out[None], max_val=2.0)[0]), 4),
             }
+            if lp_fn is not None:
+                row[tag]["lp"] = round(float(lp_fn(hr[None], out[None])), 5)
         row["heldout"] = name in HELDOUT_IMGS
         results.setdefault(label, {})[name] = row
+        lp_note = (f" lp {row['model']['lp']:.4f}/"
+                   f"{row['bicubic']['lp']:.4f}" if lp_fn else "")
         print(f"[{label}] {name}: model {row['model']['psnr']:.2f}dB "
               f"ssim {row['model']['ssim']:.4f} | bicubic "
               f"{row['bicubic']['psnr']:.2f}dB ssim {row['bicubic']['ssim']:.4f}"
-              f"{' (heldout)' if row['heldout'] else ''}", flush=True)
+              f"{lp_note}{' (heldout)' if row['heldout'] else ''}", flush=True)
     return results
 
 
@@ -500,6 +539,10 @@ def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
 
 
 def _write_markdown(results):
+    import statistics
+
+    model_labels = [k for k in results
+                    if k not in ("scale", "train_imgs", "heldout_imgs")]
     lines = [
         f"# Quality results ({os.path.basename(OUT_DIR.rstrip('/'))} campaign)",
         "",
@@ -510,21 +553,53 @@ def _write_markdown(results):
         "",
         "Produced by `scripts/quality_campaign.py`; galleries under "
         "`galleries/`, model files under `models/`. Metrics on [-1,1] "
-        "tensors, max_val=2.0 (reference convention).",
+        "tensors, max_val=2.0 (reference convention). `LP` is the learned-"
+        "perceptual feature distance (lower is better) in this campaign's "
+        "srresnet-trunk space — comparable only within this table.",
         "",
-        "| model | image | | PSNR | PSNR-Y | SSIM |",
-        "|---|---|---|---|---|---|",
+        "## Held-out summary (mean ± stdev over the held-out set)",
+        "",
+        "| model | n | PSNR | ΔPSNR vs bicubic | SSIM | LP (bicubic LP) | images below bicubic PSNR |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for label in results:
-        if label in ("scale", "train_imgs", "heldout_imgs"):
+    for label in model_labels:
+        rows = {n: r for n, r in results[label].items() if r["heldout"]}
+        if not rows:
             continue
+        p = [r["model"]["psnr"] for r in rows.values()]
+        bp = [r["bicubic"]["psnr"] for r in rows.values()]
+        s = [r["model"]["ssim"] for r in rows.values()]
+        losers = sorted(n for n, r in rows.items()
+                        if r["model"]["psnr"] < r["bicubic"]["psnr"])
+        spread = statistics.stdev(p) if len(p) > 1 else 0.0
+        lp_cell = "—"
+        if all("lp" in r["model"] for r in rows.values()):
+            lp = sum(r["model"]["lp"] for r in rows.values()) / len(rows)
+            blp = sum(r["bicubic"]["lp"] for r in rows.values()) / len(rows)
+            lp_cell = f"{lp:.4f} ({blp:.4f})"
+        lines.append(
+            f"| {label} | {len(p)} | {sum(p)/len(p):.3f} ± {spread:.3f} "
+            f"| {sum(p)/len(p) - sum(bp)/len(bp):+.3f} "
+            f"| {sum(s)/len(s):.4f} | {lp_cell} "
+            f"| {', '.join(losers) if losers else 'none'} |")
+    lines += [
+        "",
+        "## Per-image detail",
+        "",
+        "Rows where the model loses to bicubic on PSNR are flagged explicitly.",
+        "",
+        "| model | image | | PSNR | PSNR-Y | SSIM | LP |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for label in model_labels:
         for name, row in results[label].items():
             tag = "held-out" if row["heldout"] else "train-member"
             m, b = row["model"], row["bicubic"]
-            lines.append(f"| {label} | {name} ({tag}) | model | {m['psnr']} "
-                         f"| {m['psnr_y']} | {m['ssim']} |")
+            flag = " **(< bicubic)**" if m["psnr"] < b["psnr"] else ""
+            lines.append(f"| {label} | {name} ({tag}) | model | {m['psnr']}{flag} "
+                         f"| {m['psnr_y']} | {m['ssim']} | {m.get('lp', '—')} |")
             lines.append(f"| | | bicubic | {b['psnr']} | {b['psnr_y']} "
-                         f"| {b['ssim']} |")
+                         f"| {b['ssim']} | {b.get('lp', '—')} |")
     with open(os.path.join(OUT_DIR, "RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -539,6 +614,17 @@ def _parse_cli(argv):
     if "--no-gallery-corpus" in argv:  # pre-round-4 3-image corpus
         for k in [k for k, v in TRAIN_IMGS.items() if v.startswith(_GALLERY_DIR)]:
             del TRAIN_IMGS[k]
+        # gallery tiles leave the game entirely: held-out reverts to the
+        # pre-round-4 2-probe split as well
+        for k in HELDOUT_GALLERY:
+            HELDOUT_IMGS.pop(k, None)
+    elif "--legacy-holdout" in argv:
+        # pre-round-5 split: gallery tiles all train, held-out = 2 probes
+        # (only for comparing against pre-r5 campaign numbers)
+        for k in HELDOUT_GALLERY:
+            path = HELDOUT_IMGS.pop(k, None)
+            if path:
+                TRAIN_IMGS[k] = path
     if "--scale" in argv:
         SCALE = int(argv[argv.index("--scale") + 1])
         if SCALE not in (2, 4, 8):

@@ -50,6 +50,8 @@ class ZooEntry:
         if "heldout_psnr" in m:
             met = (f"held-out {m['heldout_psnr']:.2f} dB "
                    f"(bicubic {m['heldout_psnr_bicubic']:.2f})")
+            if "heldout_lp" in m:
+                met += f" lp {m['heldout_lp']:.4f}"
         return (f"{self.name:<22} x{self.scale} {self.kind:<7} "
                 f"{self.campaign:<22} {met}")
 
@@ -91,6 +93,12 @@ def _heldout_metrics(results_dir, recipe):
                 sum(r["bicubic"]["psnr"] for r in rows) / n,
             "heldout_images": n,
         }
+        if all("lp" in r[col] for r in rows):
+            # learned-perceptual feature distance (campaign-local extractor;
+            # comparable only within one campaign — docs/zoo.md)
+            out["heldout_lp"] = sum(r[col]["lp"] for r in rows) / n
+            out["heldout_lp_bicubic"] = \
+                sum(r["bicubic"]["lp"] for r in rows) / n
         if col == "noise_trained":  # scored on JPEG-degraded inputs
             out["degraded_inputs"] = True
         return out
