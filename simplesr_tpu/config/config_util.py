@@ -156,7 +156,8 @@ class ConfigUtil:
                         grad_accum_steps=None, fsdp=False, distill=None,
                         async_checkpointing=True, tensor_parallel=None,
                         pipeline_parallel=None, pipeline_microbatches=None,
-                        device_resident="auto", resume=None):
+                        paired_train=None, device_resident="auto",
+                        resume=None):
         """Training-mode config (reference :207-246). ``data_parallel=True``
         trains over a mesh of all visible devices (TPU-native addition —
         SRModel shards the batch; XLA adds the ICI gradient all-reduce).
@@ -182,6 +183,10 @@ class ConfigUtil:
         inside the fused step (dp×pp when devices remain;
         parallel/pipeline.py). ``pipeline_microbatches`` overrides the
         microbatch count (default: s).
+        ``paired_train=w`` packs w batch items into the channel dimension
+        for the whole fused train step (train/paired.py) — exact (same
+        loss/gradients/checkpoints), every conv runs at w·C channels for
+        MXU lane fill. BN-free SRResNet recipes only.
         ``resume=True`` / ``resume="latest"`` reuses the latest previous
         run's save dir and continues it from its resume point (see
         run_training); a run name (or path) under
@@ -210,7 +215,7 @@ class ConfigUtil:
             save_dir_name=reuse_dir)._with_data_parallel(
                 data_parallel, ema_decay, grad_accum_steps, fsdp, ema_eval,
                 distill, async_checkpointing, tensor_parallel,
-                pipeline_parallel, pipeline_microbatches)
+                pipeline_parallel, pipeline_microbatches, paired_train)
         cfg.resume = bool(resume)
         # data: device-resident crop pool gate (docs/data.md) — "auto"
         # uploads small corpora once and gathers crops on device
@@ -246,7 +251,7 @@ class ConfigUtil:
                             fsdp=False, ema_eval=False, distill=None,
                             async_checkpointing=True, tensor_parallel=None,
                             pipeline_parallel=None,
-                            pipeline_microbatches=None):
+                            pipeline_microbatches=None, paired_train=None):
         self.data_parallel = bool(flag)
         self.ema_decay = ema_decay
         self.ema_eval = bool(ema_eval)
@@ -257,6 +262,7 @@ class ConfigUtil:
         self.tensor_parallel = tensor_parallel
         self.pipeline_parallel = pipeline_parallel
         self.pipeline_microbatches = pipeline_microbatches
+        self.paired_train = paired_train
         return self
 
     @staticmethod

@@ -98,7 +98,8 @@ class SRModel:
                  async_checkpointing=True,
                  tensor_parallel=False,
                  pipeline_parallel=False,
-                 pipeline_microbatches=None):
+                 pipeline_microbatches=None,
+                 paired_ways=None):
         if model_type.lower() not in ("gan", "resnet"):
             raise ValueError("model type not recognized")
         if generator is None:
@@ -339,6 +340,26 @@ class SRModel:
                                           num_microbatches=m,
                                           batch_axis=batch_axis)
 
+        # Paired-trunk training (beyond-reference knob, train/paired.py):
+        # `ways` batch items pack into the channel dimension for the whole
+        # generator forward inside the fused step, with every conv kernel
+        # embedded block-diagonally as part of the trace. Exact — same loss,
+        # same gradients, same parameter tree/checkpoints as unpaired — but
+        # every conv (fwd + both grads) runs at ways·C channels, filling the
+        # MXU's 128 lanes at C=64. BN-free SRResNet only; validation and
+        # inference stay on the standard layout.
+        self._paired_fwd = None
+        self._paired_ways = 1
+        if paired_ways is not None:
+            if tensor_parallel or pipeline_parallel:
+                raise ValueError(
+                    "paired_ways is mutually exclusive with tensor_parallel/"
+                    "pipeline_parallel (they re-lay-out the same trunk)")
+            from simplesr_tpu.train.paired import paired_train_apply
+            self._paired_fwd = paired_train_apply(generator.model(),
+                                                  paired_ways)
+            self._paired_ways = int(paired_ways)
+
         # Knowledge distillation (beyond-reference knob, train/distill.py):
         # a frozen teacher runs inside the fused step; its output is an
         # extra stop-gradiented target for the generator. Resolved last so
@@ -358,6 +379,10 @@ class SRModel:
     # ================================================== jitted step builders
 
     def _g_apply(self, params, stats, x, train):
+        if train and self._paired_fwd is not None:
+            # packed-trunk layout (train/paired.py) — same params, exact
+            # gradients; BN-free by construction so stats pass through
+            return self._paired_fwd(params, x), stats
         if self._tp_fwd is not None:
             # channel-split forward; no BatchNorm by construction (tp_apply
             # rejects batch_norm=True), so train/eval are the same function
@@ -550,15 +575,16 @@ class SRModel:
 
     # ========================================================== public steps
 
-    def _fit_batch_to_mesh(self, lr_batch, hr_batch):
+    def _fit_batch_to_mesh(self, lr_batch, hr_batch, train=False):
         """Under a data mesh the jitted steps shard the batch dimension, so
-        B must divide the data-axis size. Uneven final batches from the
-        pipeline are trimmed to the largest shardable multiple (the tf.data
-        ``drop_remainder`` analogue) instead of dying with a raw XLA
-        sharding error; a too-small batch is skipped entirely."""
-        if self._mesh is None:
-            return lr_batch, hr_batch
-        n = self._data_axis_size()  # model/stage axes don't split the batch
+        B must divide the data-axis size — and under paired training the
+        TRAIN batch must additionally divide `paired_ways`. Uneven final
+        batches from the pipeline are trimmed to the largest usable multiple
+        (the tf.data ``drop_remainder`` analogue) instead of dying with a
+        raw XLA sharding error; a too-small batch is skipped entirely."""
+        n = self._data_axis_size() if self._mesh is not None else 1
+        if train:  # validation runs the standard (unpacked) forward
+            n *= self._paired_ways
         if n == 1:
             return lr_batch, hr_batch
         b = lr_batch.shape[0]
@@ -568,18 +594,21 @@ class SRModel:
         keep = (b // n) * n
         if keep == 0:
             logging.getLogger("simple_sr").warning(
-                "skipping batch of %d: smaller than the %d-device data mesh", b, n)
+                "skipping batch of %d: smaller than the required multiple "
+                "of %d (data mesh x paired ways)", b, n)
             return None, None
         logging.getLogger("simple_sr").warning(
-            "trimming uneven batch %d -> %d for the %d-device data mesh "
-            "(enable DataPipeline(drop_remainder=True) to avoid this)", b, keep, n)
+            "trimming uneven batch %d -> %d to a multiple of %d "
+            "(enable DataPipeline(drop_remainder=True) to avoid this)",
+            b, keep, n)
         return lr_batch[:keep], hr_batch[:keep]
 
     def train_step(self, lr_batch, hr_batch):
         """One optimization step (reference sr_model.py:403-453)."""
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()
-        lr_batch, hr_batch = self._fit_batch_to_mesh(lr_batch, hr_batch)
+        lr_batch, hr_batch = self._fit_batch_to_mesh(lr_batch, hr_batch,
+                                                     train=True)
         if lr_batch is None:
             return
         self._state, metrics = self._train_step_fn(
@@ -1167,6 +1196,7 @@ class SRModel:
             pipeline_parallel=pp > 1,
             pipeline_microbatches=getattr(config, "pipeline_microbatches",
                                           None),
+            paired_ways=getattr(config, "paired_train", None),
             epoch_train_summary_writer=config.epoch_train_summary_writer,
             batch_train_summary_writer=config.batch_train_summary_writer,
             epoch_validation_summary_writer=config.epoch_validation_summary_writer,
