@@ -46,8 +46,12 @@ def psnr(tensor1, tensor2, max_val=2.0):
     return out[0] if squeeze else out
 
 
-# TF's rgb_to_yuv Y row (ITU-R BT.601 luma coefficients).
-_Y_WEIGHTS = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+# TF's rgb_to_yuv Y row (ITU-R BT.601 luma coefficients). Kept as a host
+# constant: a module-level jnp.array would initialize the XLA backend at
+# import time, which breaks multi-host users who must call
+# jax.distributed.initialize AFTER importing the library
+# (tests/parallel/test_import_no_backend_init.py pins this).
+_Y_WEIGHTS = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def rgb_to_y(img):

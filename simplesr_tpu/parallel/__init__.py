@@ -5,7 +5,8 @@ staged-trunk) forwards, multi-host init."""
 
 from simplesr_tpu.parallel.mesh import (
     make_mesh, data_sharding, spatial_sharding, replicated, shard_batch,
-    initialize_multihost, local_batch_slice, DATA_AXIS, SPATIAL_AXIS,
+    initialize_multihost, local_batch_slice, global_batch, DATA_AXIS,
+    SPATIAL_AXIS,
 )
 from simplesr_tpu.parallel.spatial import (halo_exchange, spatial_sharded_apply,
                                             spatial_sharded_apply_batched)
@@ -17,6 +18,7 @@ from simplesr_tpu.parallel.pipeline import (pipeline_apply, stack_block_params,
 __all__ = [
     "make_mesh", "data_sharding", "spatial_sharding", "replicated",
     "shard_batch", "initialize_multihost", "local_batch_slice",
+    "global_batch",
     "DATA_AXIS", "SPATIAL_AXIS", "halo_exchange", "spatial_sharded_apply",
     "spatial_sharded_apply_batched",
     "leaf_spec", "state_shardings", "shard_count",

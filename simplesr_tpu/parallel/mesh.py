@@ -61,14 +61,33 @@ def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
 def initialize_multihost(coordinator_address=None, num_processes=None,
                          process_id=None):
     """jax.distributed initialization for TPU pod slices (multi-host).
-    On single-host (or when already initialized) this is a no-op."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    On single-host (or when already initialized) this is a no-op.
+
+    Order matters: the check for an existing client must NOT touch the
+    backend (``jax.process_count()`` would initialize it, after which
+    ``jax.distributed.initialize`` is rejected) — certified for real by the
+    2-process test (tests/parallel/test_multihost_two_process.py)."""
     if coordinator_address is None:
         return
+    if jax.distributed.is_initialized():
+        return  # already initialized by the runtime
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def global_batch(mesh: Mesh, local_batch, spec: P = None):
+    """Assemble each process's LOCAL batch shard into one GLOBAL array laid
+    out over a (possibly multi-host) mesh: the multi-controller companion of
+    `shard_batch`. `spec` defaults to batch-dim sharding over the data axis;
+    pass `P()` for replicated inputs (e.g. params identical on all hosts).
+    Single-process meshes take the plain `device_put` path."""
+    spec = P(DATA_AXIS) if spec is None else spec
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding,
+                                                  np.asarray(local_batch))
 
 
 def local_batch_slice(global_batch_size: int) -> slice:
