@@ -334,7 +334,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                        discriminator=disc, discriminator_optimizer="Adam",
                        discriminator_optimizer_config={"learning_rate": 1e-4},
                        resnet_checkpoint=resnet_checkpoint,
-                       config=_cfg(tmp, 10**6))
+                       config=_cfg(tmp, 10**6), paired_ways=_paired_for(arch))
     elif arch == "srgan_lp":
         # SRGAN with the measured perceptual substitute (VERDICT r2 #4c):
         # the paper's ImageNet-VGG term is impossible here (zero egress), so
@@ -359,7 +359,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                        discriminator=disc, discriminator_optimizer="Adam",
                        discriminator_optimizer_config={"learning_rate": 1e-4},
                        resnet_checkpoint=resnet_checkpoint,
-                       config=_cfg(tmp, 10**6))
+                       config=_cfg(tmp, 10**6), paired_ways=_paired_for(arch))
     elif arch == "esrgan_lp":
         # ESRGAN with the paper's three-term STRUCTURE (perceptual-dominant
         # + 1e-2 L1 + 5e-3 RaGAN, reference model_builder-equivalent recipe)
@@ -387,7 +387,7 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                        discriminator=disc, discriminator_optimizer="Adam",
                        discriminator_optimizer_config={"learning_rate": 1e-4},
                        resnet_checkpoint=resnet_checkpoint,
-                       config=_cfg(tmp, 10**6))
+                       config=_cfg(tmp, 10**6), paired_ways=_paired_for(arch))
     elif arch == "esrgan":
         # ESRGAN-style RRDB+RaGAN stage. The paper weights (1e-2 L1 + 5e-3
         # RaAdv + VGG@1) are degenerate without the VGG term (no ImageNet
@@ -415,13 +415,14 @@ def build_model(arch, tmp, patience, steps_hint, resnet_checkpoint=None,
                        discriminator=disc, discriminator_optimizer="Adam",
                        discriminator_optimizer_config={"learning_rate": 1e-4},
                        resnet_checkpoint=resnet_checkpoint,
-                       config=_cfg(tmp, 10**6))
+                       config=_cfg(tmp, 10**6), paired_ways=_paired_for(arch))
     else:
         raise ValueError(arch)
     return SRModel(model_type="resnet", generator=gen,
                    generator_optimizer="Adam",
                    generator_optimizer_config={"learning_rate": schedule},
-                   config=_cfg(tmp, patience), distill=DISTILL)
+                   config=_cfg(tmp, patience), distill=DISTILL,
+                   paired_ways=_paired_for(arch))
 
 
 RRDB_BLOCKS = 8   # --rrdb-blocks; 8 fits the corpus, 16+ = paper capacity
@@ -430,6 +431,17 @@ REMAT = False     # --remat; memory headroom for deep/wide stages
 DISTILL = None    # --distill teacher.msgpack[:weight] — pixel stages train
                   # with the frozen-teacher term (train/distill.py); pair
                   # with --out so distilled results land in their own dir
+PAIRED = None     # --paired W: train SRResNet-family stages (srresnet,
+                  # srresnet128, srgan, srgan_lp) in the packed batch->
+                  # channel layout (train/paired.py) — exact, ~1.3-1.4x
+                  # faster steps; RRDB stages are unaffected
+
+
+def _paired_for(arch):
+    """paired_ways for SRModel: SRResNet-family BN-free stages only."""
+    if PAIRED and arch in ("srresnet", "srresnet128", "srgan", "srgan_lp"):
+        return PAIRED
+    return None
 
 
 def main(fast=False, tiny=False, pixel_archs=("srresnet", "rrdb"),
@@ -634,9 +646,15 @@ def _parse_cli(argv):
             OUT_DIR = OUT_DIR.rstrip("/") + f"_x{SCALE}"
     if "--out" in argv:  # e.g. smoke runs — don't merge into committed results
         OUT_DIR = argv[argv.index("--out") + 1]
-    global RRDB_BLOCKS, MAX_EPOCHS, REMAT, DISTILL
+    global RRDB_BLOCKS, MAX_EPOCHS, REMAT, DISTILL, PAIRED
     if "--remat" in argv:
         REMAT = True
+    if "--paired" in argv:
+        PAIRED = int(argv[argv.index("--paired") + 1])
+        if PAIRED < 2:
+            raise SystemExit(f"--paired must be >= 2, got {PAIRED}")
+        if BATCH % PAIRED:
+            raise SystemExit(f"--paired {PAIRED} must divide batch {BATCH}")
     if "--distill" in argv:
         spec = argv[argv.index("--distill") + 1]
         path, weight = spec, 1.0
