@@ -64,3 +64,22 @@ def test_run_example_usage_errors(tmp_path, capsys):
     assert main(["run_example", str(bad)]) == 1
     out = capsys.readouterr().out
     assert "not recognized" in out
+
+
+def test_run_example_training_paired_from_yaml_file(tmp_path):
+    """YAML surface of the production recipe: general.paired_train flows
+    through training_config -> SRModel.init -> the packed-layout step."""
+    import yaml as _yaml
+    from examples.run_example import main
+
+    path = _write_yaml(tmp_path)
+    conf = _yaml.safe_load(open(path))
+    conf["general"]["paired_train"] = 2
+    conf["model"]["generator"]["batch_norm"] = False
+    path2 = tmp_path / "config_paired.yaml"
+    path2.write_text(_yaml.safe_dump(conf))
+    rc = main(["run_example", str(path2)])
+    assert rc == 0
+    runs = list((tmp_path / "results" / "training").iterdir())
+    assert any((run / "models" / "resnet_gen_best.msgpack").exists()
+               for run in runs)
