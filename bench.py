@@ -336,6 +336,77 @@ def measure_train_e2e_mpix_s(epochs=3, crop=96, scale=SCALE,
     return best, device_mpix, host_mpix
 
 
+def measure_serving_mpix_s(model_path=None, scale=4, hw=128, n_per_client=8,
+                           clients=8, paired=0):
+    """END-TO-END serving throughput: PNG bytes → serve daemon (subprocess,
+    holds the chip) → batched SR → PNG bytes back, over `clients` concurrent
+    persistent connections (the daemon batches same-shape requests up to
+    max_batch). Includes client+server PNG codec work — the real wire cost.
+    MUST run standalone: the parent must not touch the TPU first (one
+    process per chip)."""
+    import io
+    import subprocess
+    import sys
+    import tempfile
+    import threading
+    from PIL import Image
+    from simplesr_tpu.tools.serve import SRClient
+
+    if model_path is None:
+        model_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results",
+            "quality_r4", "models", "resnet_gen_srresnet_x4_best.msgpack")
+    sock = os.path.join(tempfile.mkdtemp(), "sr.sock")
+    cmd = [sys.executable, "-m", "simplesr_tpu.tools.serve",
+           "--model", model_path, "--scale", str(scale), "--socket", sock,
+           "--max-batch", str(clients)]
+    if paired:
+        cmd += ["--paired", str(paired)]
+    proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        t0 = time.time()
+        while not os.path.exists(sock):
+            if proc.poll() is not None:
+                raise RuntimeError("serve daemon exited before binding")
+            if time.time() - t0 > 900:
+                raise TimeoutError("serve daemon did not bind its socket")
+            time.sleep(0.5)
+        rng = np.random.default_rng(0)
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 256, (hw, hw, 3)).astype(np.uint8)
+                        ).save(buf, format="PNG")
+        png = buf.getvalue()
+
+        def run_client(n, out):
+            with SRClient(sock) as c:
+                for _ in range(n):
+                    out.append(c.upscale_bytes(png).shape)
+
+        run_client(2, [])  # warm: compiles the shape bucket
+        outs = [[] for _ in range(clients)]
+        threads = [threading.Thread(target=run_client,
+                                    args=(n_per_client, outs[i]))
+                   for i in range(clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        n = sum(len(o) for o in outs)
+        if n != clients * n_per_client:
+            raise RuntimeError(f"only {n} of {clients * n_per_client} "
+                               "requests completed")
+        return n * (hw * scale) ** 2 / 1e6 / dt
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def collect_default():
     """The driver's one-line record: headline inference + extras."""
     mpix, inf_tflops = measure_inference_mpix_s(with_flops=True)
@@ -531,6 +602,21 @@ def main(argv=None):
     except Exception as exc:  # cache is an optimization, never a bench failure
         print(f"warning: compile cache disabled ({type(exc).__name__}: {exc})",
               file=sys.stderr)
+    if "--serve" in argv:
+        # BEFORE the liveness guard: the parent must stay off the chip so
+        # the serve daemon subprocess can hold it
+        paired = _flag_int(argv, "--paired", 0)
+        mpix = measure_serving_mpix_s(paired=paired)
+        print(json.dumps({
+            "metric": "srresnet_x4_serving_e2e_mpix_per_s"
+                      + (f"_paired{paired}" if paired else ""),
+            "value": round(mpix, 2),
+            "unit": "MPix/s/chip",
+            "vs_baseline": None,
+            "note": "PNG-in/PNG-out over 8 concurrent persistent "
+                    "connections incl. codec work (tools/serve.py daemon)",
+        }))
+        return
     if "--no-guard" not in argv:
         _guard_device_liveness()
     if "--train-production" in argv:
