@@ -644,6 +644,13 @@ def _parse_cli(argv):
         CROP = 96 if SCALE == 2 else 128
         if SCALE != 2:
             OUT_DIR = OUT_DIR.rstrip("/") + f"_x{SCALE}"
+    global BATCH
+    if "--crop" in argv:  # e.g. the EDSR-style 192-crop production recipe
+        CROP = int(argv[argv.index("--crop") + 1])
+        if CROP % SCALE:
+            raise SystemExit(f"--crop {CROP} must divide scale {SCALE}")
+    if "--batch" in argv:
+        BATCH = int(argv[argv.index("--batch") + 1])
     if "--out" in argv:  # e.g. smoke runs — don't merge into committed results
         OUT_DIR = argv[argv.index("--out") + 1]
     global RRDB_BLOCKS, MAX_EPOCHS, REMAT, DISTILL, PAIRED
